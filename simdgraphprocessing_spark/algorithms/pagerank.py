@@ -1,0 +1,102 @@
+"""PageRank on the superstep driver.
+
+The reference has no PageRank (its closest structure is the BFS
+gather loop, ``apps/n_path.cpp:58-83``); semantics are pinned by our
+numpy power-iteration oracle (tests/test_pagerank.py):
+
+    r_{t+1}(v) = (1-d)/N + d · ( Σ_{u→v} r_t(u)/outdeg(u)
+                                 + dangling_mass_t / N )
+
+with d = 0.85, r_0 = 1/N, dangling mass redistributed uniformly.
+
+Plan per superstep (all JVM-side, zero Python in the loop):
+  ranks ⋈ out_degrees (broadcast- or co-partitioned hash join on id)
+  → contribs = edges ⋈ ranks on src (edges pre-partitioned by src;
+    the exchange is reused every iteration)
+  → groupBy(dst).sum (THE shuffle; map-side partial agg halves it)
+  → full-outer with vertex table for zero-indegree vertices.
+
+Convergence: L1 delta via ``agg(sum(abs(new-old)))`` — one scalar to
+the driver per superstep, like the reference's cardinality test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simdgraphprocessing_spark.iteration import IterationResult, run_supersteps
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-10,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+) -> IterationResult:
+    """Returns IterationResult whose state is ``(id, rank)``.
+
+    ``edges`` is a directed edge table (src, dst); for undirected
+    graphs pass the symmetrized table. Vertices = src ∪ dst.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").repartition("src").persist()
+
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # (id, outdeg) for every vertex; dangling => outdeg null
+    vtab = vertices.join(out_deg, "id", "left").persist()
+    vtab.count()
+
+    init = vtab.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
+        st = state.join(vtab.select("id", "outdeg"), "id", "left")
+        dangling = (
+            st.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(
+                st.select(F.col("id").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("msum"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        delta = (
+            new.join(state.select("id", F.col("rank").alias("old")), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        return new, {"l1_delta": float(delta), "dangling_mass": float(dangling)}
+
+    result = run_supersteps(
+        spark,
+        init,
+        step,
+        max_iterations=max_iterations,
+        converged=lambda m: m.get("l1_delta", 1.0) < tol,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+    )
+    edges.unpersist()
+    return result

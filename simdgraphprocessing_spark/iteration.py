@@ -1,0 +1,148 @@
+"""Superstep driver with checkpoint/resume — the distributed
+generalization of the reference's frontier loop
+(``apps/n_path.cpp:58-83``: per-thread buffers → tree merge → global
+union → difference → convergence test).
+
+Contract: a superstep is a pure function
+``state_df -> (new_state_df, metrics_dict)``. The driver
+
+* persists each new state and truncates lineage (iterative DataFrame
+  plans otherwise grow without bound — the classic Spark trap),
+* checkpoints vertex state to a partitioned parquet directory
+  (Iceberg-style layout ``checkpoint_dir/superstep=K/``) together
+  with per-superstep metrics + lineage JSON (``_metrics.json``:
+  iteration number, rows, partitioning, wall seconds, custom
+  convergence measures),
+* resumes from the last *complete* superstep (one whose parquet
+  committed its ``_SUCCESS`` marker and metrics file) after a crash —
+  ``run()`` with the same ``checkpoint_dir`` just continues.
+
+At 100 TB the state table is large; checkpointing every K supersteps
+(``checkpoint_every``) trades recompute for IO exactly like Spark's
+own ``localCheckpoint`` policy, but survives driver loss because it
+is real parquet, not executor-cached blocks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Superstep = Callable[[DataFrame, int], tuple[DataFrame, dict]]
+
+
+@dataclass
+class IterationResult:
+    state: DataFrame
+    iterations: int
+    metrics: list[dict] = field(default_factory=list)
+    resumed_from: int | None = None
+
+
+def _ckpt_path(checkpoint_dir: str, k: int) -> str:
+    return os.path.join(checkpoint_dir, f"superstep={k}")
+
+
+def _metrics_path(checkpoint_dir: str, k: int) -> str:
+    return os.path.join(_ckpt_path(checkpoint_dir, k), "_metrics.json")
+
+
+def last_complete_superstep(checkpoint_dir: str) -> int | None:
+    """Largest K with both a parquet _SUCCESS marker and metrics."""
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        if not name.startswith("superstep="):
+            continue
+        k = int(name.split("=", 1)[1])
+        d = os.path.join(checkpoint_dir, name)
+        if os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+            os.path.join(d, "_metrics.json")
+        ):
+            best = k if best is None else max(best, k)
+    return best
+
+
+def run_supersteps(
+    spark: SparkSession,
+    initial_state: DataFrame,
+    step: Superstep,
+    max_iterations: int,
+    converged: Callable[[dict], bool] | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    state_partitions: int | None = None,
+) -> IterationResult:
+    """Run ``step`` until convergence / max_iterations, checkpointing.
+
+    ``converged(metrics)`` inspects the metrics dict the step returned
+    (e.g. ``{"delta": 1e-7}``) — the driver-side convergence test the
+    reference does with ``frontier.cardinality == 0``.
+    """
+    start_k = 0
+    resumed_from = None
+    state = initial_state
+    metrics_log: list[dict] = []
+
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        last = last_complete_superstep(checkpoint_dir)
+        if last is not None:
+            state = spark.read.parquet(_ckpt_path(checkpoint_dir, last))
+            with open(_metrics_path(checkpoint_dir, last)) as fh:
+                metrics_log = json.load(fh).get("history", [])
+            start_k = last
+            resumed_from = last
+            if metrics_log and converged and converged(metrics_log[-1]):
+                return IterationResult(state, last, metrics_log, resumed_from)
+
+    state = state.persist()
+    state.count()  # materialize
+
+    k = start_k
+    while k < max_iterations:
+        t0 = time.time()
+        new_state, m = step(state, k)
+        new_state = new_state.persist()
+        n_rows = new_state.count()  # materialize before unpersisting parent
+        wall = time.time() - t0
+        m = dict(m)
+        m.update(
+            {
+                "superstep": k + 1,
+                "rows": n_rows,
+                "wall_sec": round(wall, 4),
+                "partitions": new_state.rdd.getNumPartitions(),
+            }
+        )
+        metrics_log.append(m)
+        k += 1
+
+        if checkpoint_dir and (k % checkpoint_every == 0 or k == max_iterations):
+            path = _ckpt_path(checkpoint_dir, k)
+            writer = new_state.write.mode("overwrite")
+            if state_partitions:
+                writer = new_state.repartition(state_partitions).write.mode("overwrite")
+            writer.parquet(path)
+            with open(_metrics_path(checkpoint_dir, k), "w") as fh:
+                json.dump({"superstep": k, "history": metrics_log}, fh)
+            # re-read: truncates lineage AND pins state to durable storage
+            state.unpersist()
+            new_state.unpersist()
+            new_state = spark.read.parquet(path).persist()
+        else:
+            state.unpersist()
+            # truncate lineage in-memory between durable checkpoints
+            new_state = new_state.localCheckpoint(eager=True)
+
+        state = new_state
+        if converged and converged(m):
+            break
+
+    return IterationResult(state, k, metrics_log, resumed_from)

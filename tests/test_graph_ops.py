@@ -1,0 +1,150 @@
+"""End-to-end golden tests on deterministic fixture graphs —
+the reference's test style (SURVEY §5) with brute-force numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simdgraphprocessing_spark.graph import (
+    Graph,
+    degree_rank_ids,
+    normalize_edges,
+    orient_by_degree,
+)
+from simdgraphprocessing_spark.operators import (
+    bfs_levels,
+    clique_count,
+    common_neighbors,
+    lollipop_count,
+    max_degree_vertex,
+    n_path_length,
+    similar_nodes,
+    symbiosity,
+    triangle_count,
+)
+from tests.conftest import (
+    edge_df,
+    k5_pairs,
+    numpy_graph,
+    two_triangles_bridge_pairs,
+    zipf_random_pairs,
+)
+
+
+def tri_oracle(pairs):
+    A = numpy_graph(pairs)
+    return int(np.trace(A @ A @ A) // 6)
+
+
+@pytest.mark.parametrize("method", ["join", "csr"])
+def test_triangles_k5(spark, method):
+    e = edge_df(spark, k5_pairs())
+    assert triangle_count(e, method=method).collect()[0]["triangles"] == 10
+
+
+@pytest.mark.parametrize("method", ["join", "csr"])
+def test_triangles_bridge(spark, method):
+    e = edge_df(spark, two_triangles_bridge_pairs())
+    assert triangle_count(e, method=method).collect()[0]["triangles"] == 2
+
+
+@pytest.mark.parametrize("method", ["join", "csr"])
+def test_triangles_zipf_vs_bruteforce(spark, method):
+    pairs = zipf_random_pairs()
+    e = edge_df(spark, pairs)
+    assert (
+        triangle_count(e, method=method).collect()[0]["triangles"]
+        == tri_oracle(pairs)
+    )
+
+
+def test_triangles_invariant_under_degree_relabel(spark):
+    pairs = zipf_random_pairs()
+    g = Graph.from_edge_list_degree_ordered(
+        spark.createDataFrame(pairs, "src long, dst long")
+    )
+    assert triangle_count(g.edges).collect()[0]["triangles"] == tri_oracle(pairs)
+
+
+def test_clique_counts(spark):
+    e = edge_df(spark, k5_pairs())
+    assert clique_count(e, 3).collect()[0]["cliques"] == 10
+    assert clique_count(e, 4).collect()[0]["cliques"] == 5
+    assert clique_count(e, 5).collect()[0]["cliques"] == 1
+    e2 = edge_df(spark, two_triangles_bridge_pairs())
+    assert clique_count(e2, 4).collect()[0]["cliques"] == 0
+
+
+def test_bfs_levels_bridge(spark):
+    e = edge_df(spark, two_triangles_bridge_pairs())
+    lv = {r["id"]: r["level"] for r in bfs_levels(e, start=0).collect()}
+    assert lv == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3, 5: 3}
+    assert n_path_length(e, start=0, n=10) == 3
+    assert n_path_length(e, start=0, n=2) == 2
+
+
+def test_max_degree_and_similar_nodes(spark):
+    e = edge_df(spark, two_triangles_bridge_pairs())
+    m = max_degree_vertex(e).collect()[0]
+    assert (m["id"], m["degree"]) == (2, 3)  # ties 2 vs 3 → min id
+    # N(2)={0,1,3}; overlap>0 for v∈{0,1,2,4,5}, v3 has N(3)={2,4,5} → 0
+    s = similar_nodes(e, threshold=0).collect()[0]["similar"]
+    assert s == 5
+    cn = {(r["u"], r["v"]): r["cn"] for r in common_neighbors(e).collect()}
+    assert cn[(0, 1)] == 1  # share vertex 2... and 0-1 adjacent
+
+
+def test_symbiosity_undirected_all(spark):
+    # undirected: in == out → Jaccard 1 for every non-isolated vertex
+    e = edge_df(spark, k5_pairs())
+    g = Graph(edges=e)
+    assert (
+        symbiosity(g.out_edges(), g.in_edges()).collect()[0]["symbiotic"] == 5
+    )
+
+
+def test_symbiosity_directed_disjoint(spark):
+    # oriented DAG: in/out disjoint → 0
+    e = spark.createDataFrame(k5_pairs(), "src long, dst long")
+    g = Graph(edges=e, directed=True)
+    assert (
+        symbiosity(g.out_edges(), g.in_edges()).collect()[0]["symbiotic"] == 0
+    )
+
+
+def test_lollipop_count(spark):
+    # triangle 0-1-2 with pendant 2-3: degs: 0:2,1:2,2:3,3:1
+    e = edge_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    # Σ over the 1 triangle of deg(x)+deg(y)+deg(z) = 2+2+3 = 7
+    assert lollipop_count(e).collect()[0]["lollipops"] == 7
+
+
+def test_lollipop_vs_bruteforce(spark):
+    pairs = zipf_random_pairs(n=120)
+    A = numpy_graph(pairs)
+    deg = A.sum(axis=1)
+    tri_per_v = np.diag(A @ A @ A) // 2
+    expect = int((tri_per_v * deg).sum())
+    e = edge_df(spark, pairs)
+    assert lollipop_count(e).collect()[0]["lollipops"] == expect
+
+
+def test_degree_rank_ids_dense_and_ordered(spark):
+    e = edge_df(spark, two_triangles_bridge_pairs())
+    m = degree_rank_ids(e).orderBy("new_id").collect()
+    assert [r["new_id"] for r in m] == list(range(6))
+    degs = [r["degree"] for r in m]
+    assert degs == sorted(degs, reverse=True)
+    assert m[0]["id"] == 2  # deg 3, min id tie-break
+
+
+def test_normalize_edges_dedup_loops(spark):
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)], "src long, dst long"
+    )
+    e = normalize_edges(raw)
+    rows = {(r["src"], r["dst"]) for r in e.collect()}
+    assert rows == {(1, 2), (2, 1), (2, 3), (3, 2)}
+    assert orient_by_degree(e).count() == 2
