@@ -1,0 +1,147 @@
+"""Iterative algorithms vs numpy oracles (FIXTURES.md §F3):
+PageRank allclose(1e-6), CC exact, label propagation exact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simdgraphprocessing_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+)
+from tests.conftest import edge_df, numpy_graph, zipf_random_pairs
+
+
+def pagerank_oracle(A: np.ndarray, d=0.85, iters=20, tol=1e-10):
+    n = A.shape[0]
+    outdeg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        nz = outdeg > 0
+        contrib = (A[nz].T * (r[nz] / outdeg[nz])).sum(axis=1)
+        new = (1 - d) / n + d * (contrib + 0 * dangling) + d * dangling / n
+        if np.abs(new - r).sum() < tol:
+            r = new
+            break
+        r = new
+    return r
+
+
+def cc_oracle(pairs, n):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min vertex id per component
+    return {v: find(v) for v in range(n)}
+
+
+def lpa_oracle(A: np.ndarray, iters: int):
+    """Synchronous LPA, most-frequent neighbor label, min tie-break."""
+    n = A.shape[0]
+    labels = np.arange(n)
+    for _ in range(iters):
+        new = labels.copy()
+        for v in range(n):
+            nbrs = np.nonzero(A[v])[0]
+            if nbrs.size == 0:
+                continue
+            vals, counts = np.unique(labels[nbrs], return_counts=True)
+            new[v] = vals[counts == counts.max()].min()
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def test_pagerank_ring(spark):
+    # ring: every vertex rank = 1/N exactly
+    n = 12
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    e = edge_df(spark, pairs)
+    res = pagerank(e, max_iterations=10)
+    ranks = {r["id"]: r["rank"] for r in res.state.collect()}
+    assert all(abs(v - 1.0 / n) < 1e-9 for v in ranks.values())
+
+
+def test_pagerank_star_and_zipf_vs_oracle(spark):
+    pairs = zipf_random_pairs(n=150)
+    n = max(max(p) for p in pairs) + 1
+    # directed version: low → high only (creates dangling vertices)
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in pairs:
+        A[a, b] = 1
+    res = pagerank(e, max_iterations=25, tol=1e-12)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    expect = pagerank_oracle(A, iters=25, tol=1e-12)
+    ids = sorted(got)
+    got_v = np.array([got[i] for i in ids])
+    exp_v = np.array([expect[i] for i in ids])
+    assert np.allclose(got_v, exp_v, atol=1e-6)
+    assert res.metrics, "metrics recorded per superstep"
+    assert abs(got_v.sum() - 1.0) < 1e-6  # mass conserved
+
+
+def test_connected_components_multi(spark):
+    pairs = [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (8, 8)]
+    e = edge_df(spark, [(a, b) for a, b in pairs if a != b])
+    res = connected_components(e)
+    comp = {r["id"]: r["component"] for r in res.state.collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 5, 7: 5}
+
+
+def test_connected_components_zipf_vs_unionfind(spark):
+    pairs = zipf_random_pairs(n=250)
+    n = max(max(p) for p in pairs) + 1
+    e = edge_df(spark, pairs)
+    res = connected_components(e, max_iterations=60)
+    comp = {r["id"]: r["component"] for r in res.state.collect()}
+    oracle = cc_oracle(pairs, n)
+    present = set(comp)
+    for v in present:
+        assert comp[v] == oracle[v]
+
+
+def test_label_propagation_exact_vs_oracle(spark):
+    pairs = zipf_random_pairs(n=80)
+    A = numpy_graph(pairs)
+    iters = 4
+    e = edge_df(spark, pairs)
+    res = label_propagation(e, max_iterations=iters)
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    expect = lpa_oracle(A, iters)
+    for v, lbl in got.items():
+        assert lbl == expect[v], f"vertex {v}"
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume: run 3 supersteps, then re-run with same dir —
+    must resume from superstep 3, not restart."""
+    pairs = zipf_random_pairs(n=100)
+    e = edge_df(spark, pairs)
+    ck = str(tmp_path / "pr_ck")
+    res1 = pagerank(e, max_iterations=3, tol=0, checkpoint_dir=ck)
+    assert res1.iterations == 3 and res1.resumed_from is None
+    res2 = pagerank(e, max_iterations=6, tol=0, checkpoint_dir=ck)
+    assert res2.resumed_from == 3
+    assert res2.iterations == 6
+    # resumed result equals a clean 6-iteration run
+    clean = pagerank(e, max_iterations=6, tol=0)
+    a = {r["id"]: r["rank"] for r in res2.state.collect()}
+    b = {r["id"]: r["rank"] for r in clean.state.collect()}
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
