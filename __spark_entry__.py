@@ -198,6 +198,348 @@ def _q_label_propagation(spark, sf_dir):
     return res.state
 
 
+def _q_tadpole(spark, sf_dir):
+    from simdgraphprocessing_spark.operators.motifs import tadpole_count
+
+    return tadpole_count(_sym_sparse(spark, sf_dir))
+
+
+def _q_fish(spark, sf_dir):
+    from simdgraphprocessing_spark.operators.motifs import fish_count
+
+    return fish_count(_sym_sparse(spark, sf_dir))
+
+
+def _q_lollipop(spark, sf_dir):
+    from simdgraphprocessing_spark.operators import lollipop_count
+
+    return lollipop_count(_sym_sparse(spark, sf_dir))
+
+
+def _q_bfs_directed(spark, sf_dir):
+    from simdgraphprocessing_spark.operators import bfs_levels
+    from simdgraphprocessing_spark.sources import follow_edges
+
+    lv = bfs_levels(follow_edges(spark, sf_dir), max_depth=6)
+    return lv.groupBy("level").agg(F.count("*").alias("cnt"))
+
+
+def _q_triangles_year_filtered(spark, sf_dir):
+    """edge_selection with an attribute predicate (the reference's
+    ``attr == 2012 && src < dst`` pattern, fish_counting.cpp:33-36):
+    parts co-ordered within orders of one year only."""
+    from simdgraphprocessing_spark.graph import normalize_edges
+    from simdgraphprocessing_spark.operators import triangle_count
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                F.year("o_orderdate") == 1995
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(normalize_edges(e))
+
+
+# ------------------------------------------------- pipeline queries
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_simhash(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import simhash_codes
+
+    return simhash_codes(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _q_ann_topk(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import brute_force_topk
+
+    return brute_force_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _q_ann_topk_matmul(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import topk_matmul
+
+    return topk_matmul(_embs(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import lsh_buckets
+
+    return lsh_buckets(_embs(spark, sf_dir))
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import lsh_topk
+
+    return lsh_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
+# -- SQL generation helpers (same constants as the Spark pipeline) --
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+_DOC_CTES = f"""
+toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+tokdict AS (
+  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+  FROM (SELECT DISTINCT unnest(tl) AS token FROM toks)
+),
+post AS (SELECT doc_id, unnest(list_distinct(tl)) AS token FROM toks),
+postid AS (SELECT p.doc_id, d.tid FROM post p JOIN tokdict d USING (token)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM post l JOIN post r ON l.token = r.token AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+jac_all AS (
+  SELECT inter.a, inter.b,
+         round(CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i), 6) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a
+  JOIN sizes sb ON sb.doc_id = inter.b
+)
+"""
+
+
+def _minhash_sig_sql() -> str:
+    from simdgraphprocessing_spark.pipeline.dedup import MINHASH_AB, P
+
+    cols = ", ".join(
+        f"min(({a}*tid + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"sigs AS (SELECT doc_id, {cols} FROM postid GROUP BY doc_id)"
+
+
+def _minhash_cand_sql(bands: int = 16, rows: int = 2) -> str:
+    parts = []
+    for bi in range(bands):
+        conds = " AND ".join(
+            f"l.h{bi * rows + r} = r.h{bi * rows + r}" for r in range(rows)
+        )
+        parts.append(
+            f"SELECT l.doc_id AS a, r.doc_id AS b FROM sigs l JOIN sigs r "
+            f"ON {conds} AND l.doc_id < r.doc_id"
+        )
+    return "cand AS (" + " UNION ".join(parts) + ")"
+
+
+def _simhash_code_sql() -> str:
+    from simdgraphprocessing_spark.pipeline.dedup import SIMHASH_AB, P
+
+    sums = ", ".join(
+        f"sum(2*((({a}*tid + {b}) % {P}) % 2) - 1) AS s{i}"
+        for i, (a, b) in enumerate(SIMHASH_AB)
+    )
+    code = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(len(SIMHASH_AB))
+    )
+    return (
+        f"ssum AS (SELECT doc_id, {sums} FROM postid GROUP BY doc_id),\n"
+        f"scode AS (SELECT doc_id, {code} AS simhash FROM ssum)"
+    )
+
+
+_QVEC = "list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT))"
+
+
+def _lsh_bucket_sql(n_planes: int = 8) -> str:
+    dots = ", ".join(
+        f"CAST(list_sum(list_transform(qvec, (x, j) -> "
+        f"x * ((((1009*{kk}) + 9176*(j-1) + 31) % 7) - 3))) AS BIGINT) AS d{kk}"
+        for kk in range(n_planes)
+    )
+    code = " + ".join(
+        f"CASE WHEN d{kk} > 0 THEN CAST({1 << kk} AS BIGINT) ELSE 0 END"
+        for kk in range(n_planes)
+    )
+    return (
+        f"qv AS (SELECT vec_id, {_QVEC} AS qvec FROM embeddings),\n"
+        f"dots AS (SELECT vec_id, qvec, {dots} FROM qv),\n"
+        f"bkt AS (SELECT vec_id, qvec, {code} AS bucket FROM dots)"
+    )
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from simdgraphprocessing_spark.pipeline.text import FP_MOD, STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN list_contains(list_distinct(tl), '{w}') THEN 1 ELSE 0 END"
+            for w in STOPWORDS[lang]
+        ) + f") AS s_{lang}"
+        for lang in langs
+    )
+    # first-wins tie-break, alphabetical lang order (matches Spark struct max)
+    pred_chain = "CASE " + " ".join(
+        f"WHEN s_{lang} >= greatest({', '.join('s_' + o for o in langs if o != lang)}) THEN '{lang}'"
+        for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    ann_sql = f"""
+WITH q AS (SELECT vec_id, {_QVEC} AS qvec FROM embeddings WHERE vec_id IN ({qids})),
+b AS (SELECT vec_id, {_QVEC} AS qvec FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qvec, b.qvec) AS BIGINT) AS score
+  FROM q, b WHERE q.vec_id <> b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 10
+"""
+    return {
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents GROUP BY text
+""",
+        "token_counts": f"""
+WITH {_DOC_CTES}
+SELECT doc_id, len(tl) AS n_tokens, len(list_distinct(tl)) AS n_distinct_tokens
+FROM toks
+""",
+        "text_quality": f"""
+WITH {_DOC_CTES}
+SELECT d.doc_id,
+       len(t.tl) AS n_tokens,
+       length(d.text) AS n_chars,
+       round(CAST(len(list_distinct(t.tl)) AS DOUBLE) / len(t.tl), 6) AS distinct_ratio,
+       round(CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS DOUBLE) / length(d.text), 6) AS alpha_ratio,
+       (len(t.tl) >= 10
+        AND CAST(len(list_distinct(t.tl)) AS DOUBLE) / len(t.tl) > 0.2
+        AND CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS DOUBLE) / length(d.text) > 0.5) AS quality
+FROM documents d JOIN toks t USING (doc_id)
+""",
+        "lang_id": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+scored AS (SELECT doc_id, {score_cols} FROM toks)
+SELECT doc_id, {pred_chain} AS pred_lang FROM scored
+""",
+        "doc_fingerprints": f"""
+WITH {_DOC_CTES},
+post_pos AS (
+  SELECT doc_id, unnest(tl) AS token, generate_subscripts(tl, 1) AS pos1 FROM toks
+)
+SELECT p.doc_id,
+       CAST(sum(p.pos1 * d.tid) % {FP_MOD} AS BIGINT) AS fingerprint
+FROM post_pos p JOIN tokdict d USING (token)
+GROUP BY p.doc_id
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_DOC_CTES}
+SELECT a, b, jac FROM jac_all WHERE jac >= 0.8
+""",
+        "minhash_lsh_pairs": f"""
+WITH {_DOC_CTES},
+{_minhash_sig_sql()},
+{_minhash_cand_sql()}
+SELECT j.a, j.b, j.jac
+FROM cand c JOIN jac_all j ON j.a = c.a AND j.b = c.b
+WHERE j.jac >= 0.8
+""",
+        "simhash_codes": f"""
+WITH {_DOC_CTES},
+{_simhash_code_sql()}
+SELECT doc_id, simhash FROM scode
+""",
+        "simhash_near_pairs": f"""
+WITH {_DOC_CTES},
+{_simhash_code_sql()}
+SELECT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM scode l JOIN scode r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+""",
+        "ann_topk": ann_sql,
+        "ann_topk_matmul": ann_sql,
+        "embedding_lsh_buckets": f"""
+WITH {_lsh_bucket_sql()}
+SELECT vec_id, bucket FROM bkt
+""",
+        "embedding_lsh_topk": f"""
+WITH {_lsh_bucket_sql()},
+q AS (SELECT vec_id AS query_id, qvec AS q_qvec, bucket FROM bkt WHERE vec_id IN ({qids})),
+s AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.q_qvec, b.qvec) AS BIGINT) AS score
+  FROM q JOIN bkt b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
+""",
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_edges": _q_edges,
@@ -217,6 +559,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "pagerank": _q_pagerank,
         "label_propagation": _q_label_propagation,  # rows-only (no oracle)
+        "tadpole_count": _q_tadpole,
+        "fish_count": _q_fish,
+        "lollipop_count": _q_lollipop,
+        "bfs_directed_levels": _q_bfs_directed,
+        "triangles_year_filtered": _q_triangles_year_filtered,
+        # training-data pipeline ops (documents / embeddings tables)
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "text_quality": _q_quality,
+        "lang_id": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_codes": _q_simhash,
+        "simhash_near_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_matmul": _q_ann_topk_matmul,
+        "embedding_lsh_buckets": _q_lsh_buckets,
+        "embedding_lsh_topk": _q_lsh_topk,
     }
 
 
@@ -386,4 +747,75 @@ pr(iter, id, rank) AS (
 )
 SELECT id, round(rank, 6) AS rank6 FROM pr WHERE iter = 10
 """,
+        # x=e1.src y=e1.dst z=e2.dst w=e3.dst a=e5.dst b=e6.dst
+        "tadpole_count": f"""
+WITH {ESPARSE}
+SELECT count(*) AS tadpoles
+FROM ssym e1
+JOIN ssym e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+JOIN ssym e3 ON e3.src = e1.src
+JOIN ssym e4 ON e4.src = e2.dst AND e4.dst = e3.dst
+JOIN ssym e5 ON e5.src = e1.src
+            AND e5.dst <> e1.dst AND e5.dst <> e3.dst AND e5.dst <> e2.dst
+JOIN ssym e6 ON e6.src = e5.dst AND e6.dst <> e1.src
+WHERE e3.dst < e1.dst
+""",
+        # x=e1.src y=e1.dst z=e2.dst w=e4.dst a=e5.dst b=e6.dst
+        "fish_count": f"""
+WITH {ESPARSE}
+SELECT count(*) AS fishes
+FROM ssym e1
+JOIN ssym e2 ON e2.src = e1.src AND e2.dst < e1.dst
+JOIN ssym e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+JOIN ssym e4 ON e4.src = e1.src AND e4.dst <> e1.dst AND e4.dst <> e2.dst
+JOIN ssym e5 ON e5.src = e4.dst
+            AND e5.dst <> e1.src AND e5.dst <> e1.dst AND e5.dst <> e2.dst
+JOIN ssym e6 ON e6.src = e1.src
+JOIN ssym e7 ON e7.src = e5.dst AND e7.dst = e6.dst
+WHERE e6.dst < e4.dst AND e6.dst <> e2.dst AND e6.dst <> e1.dst
+""",
+        "lollipop_count": f"""
+WITH {ESPARSE},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM esparse e1
+  JOIN esparse e2 ON e1.dst = e2.src
+  JOIN esparse e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tpv AS (
+  SELECT id, count(*) AS tri FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+),
+deg AS (SELECT src AS id, count(*) AS deg FROM ssym GROUP BY src)
+SELECT CAST(coalesce(sum(tpv.tri * deg.deg), 0) AS BIGINT) AS lollipops
+FROM tpv JOIN deg USING (id)
+""",
+        "bfs_directed_levels": f"""
+WITH RECURSIVE {EFOLLOW},
+deg AS (SELECT src AS id, count(*) AS degree FROM efollow GROUP BY src),
+start AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1),
+lv(id, level) AS (
+  SELECT id, 0 FROM start
+  UNION
+  SELECT s.dst, lv.level + 1 FROM lv JOIN efollow s ON s.src = lv.id
+  WHERE lv.level < 6
+)
+SELECT level, count(*) AS cnt
+FROM (SELECT id, min(level) AS level FROM lv GROUP BY id)
+GROUP BY level
+""",
+        "triangles_year_filtered": """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1995
+),
+e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
+SELECT count(*) AS triangles
+FROM e e1 JOIN e e2 ON e1.dst = e2.src
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+        **_pipeline_oracles(),
     }

@@ -1,0 +1,194 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline numbers (BASELINE.md protocol):
+* PageRank edges/sec/iteration and triangles/sec on a deterministic
+  corpus-derived link graph sized by the scale factor, measured at TWO
+  parallelism levels (local[8] and local[32]) on identical input —
+  the in-sandbox proxy for the north rule's N vs 4N executor scaling;
+  efficiency = (T32/T8)/4, target ≥ 0.8.
+* Per-query seconds for the driver-testdata queries at local[32].
+
+Usage: python bench.py            # $SPARK_GRAFT_SF_DIR, default sf0.1
+Env: SPARK_GRAFT_BENCH_FILES overrides the synthetic corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+PR_ITERS = 5
+CONF_NOTE = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.shuffle.partitions": "=cores",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+}
+
+
+def _session(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # local-mode JVM needs a beat to release the SparkContext
+        time.sleep(1)
+    from simdgraphprocessing_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-local{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+
+
+def _bench_graph_path(n_files: int) -> str:
+    return os.path.join(CACHE, f"edges_n{n_files}")
+
+
+def build_bench_graph(spark, n_files: int) -> tuple[str, float]:
+    """Corpus → extract edges → normalize + degree-order; cached as
+    parquet so both parallelism levels read identical input. Returns
+    (path, etl_seconds) with etl_seconds = 0 when cached."""
+    from simdgraphprocessing_spark import corpus
+    from simdgraphprocessing_spark.graph import Graph
+
+    path = _bench_graph_path(n_files)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path, 0.0
+    t0 = time.time()
+    repos = corpus.make_corpus(spark, n_files=n_files, seed=42)
+    edges = corpus.extract_edges(repos)
+    g = Graph.from_edge_list_degree_ordered(edges)
+    g.edges.repartition(64, "src").write.mode("overwrite").parquet(path)
+    return path, time.time() - t0
+
+
+def run_graph_suite(spark, edges_path: str) -> dict:
+    """PageRank (warmup + PR_ITERS timed) and triangle count on the
+    cached graph. Returns timings + counts."""
+    from pyspark.sql import functions as F
+
+    from simdgraphprocessing_spark.algorithms import pagerank
+    from simdgraphprocessing_spark.operators import triangle_count
+
+    edges = spark.read.parquet(edges_path).persist()
+    n_edge_rows = edges.count()  # directed rows (symmetrized)
+
+    # warm-up (JIT, code-gen, page cache)
+    pagerank(edges, max_iterations=1, tol=0.0)
+    t0 = time.time()
+    pagerank(edges, max_iterations=PR_ITERS, tol=0.0)
+    pr_sec = time.time() - t0
+
+    tc = triangle_count(edges)
+    tc.collect()  # warm
+    t0 = time.time()
+    triangles = tc.collect()[0]["triangles"]
+    tri_sec = time.time() - t0
+
+    edges.unpersist()
+    return {
+        "edge_rows": n_edge_rows,
+        "pagerank_sec": pr_sec,
+        "pagerank_edges_per_sec_iter": n_edge_rows * PR_ITERS / pr_sec,
+        "triangles": int(triangles),
+        "triangle_sec": tri_sec,
+        "triangles_per_sec": triangles / tri_sec if tri_sec > 0 else 0.0,
+    }
+
+
+def run_testdata_queries(spark) -> dict:
+    """Per-query wall seconds for representative driver queries."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    picks = [
+        "triangle_count_join",
+        "triangle_count_csr",
+        "clique4_count",
+        "pagerank",
+        "connected_components",
+        "similar_nodes",
+        "minhash_lsh_pairs",
+        "simhash_near_pairs",
+        "ann_topk_matmul",
+        "dedup_exact",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+    n_files = int(
+        os.environ.get("SPARK_GRAFT_BENCH_FILES", str(max(2000, int(3_000_000 * SF))))
+    )
+
+    total_t0 = time.time()
+    results: dict = {"sf": SF, "bench_files": n_files, "pr_iters": PR_ITERS}
+
+    # ---- build (or reuse) the corpus-derived graph at local[32]
+    spark32 = _session(32)
+    edges_path, etl_sec = build_bench_graph(spark32, n_files)
+    results["etl_sec"] = round(etl_sec, 2)
+
+    # ---- graph suite at local[32]
+    g32 = run_graph_suite(spark32, edges_path)
+    q = run_testdata_queries(spark32)
+
+    # ---- identical job at local[8]
+    spark8 = _session(8)
+    g8 = run_graph_suite(spark8, edges_path)
+    spark8.stop()
+
+    eff_pr = (g32["pagerank_edges_per_sec_iter"] / g8["pagerank_edges_per_sec_iter"]) / 4
+    eff_tri = (g32["triangles_per_sec"] / g8["triangles_per_sec"]) / 4
+
+    queries = {
+        "pagerank_5iter_local32": round(g32["pagerank_sec"], 3),
+        "pagerank_5iter_local8": round(g8["pagerank_sec"], 3),
+        "triangles_local32": round(g32["triangle_sec"], 3),
+        "triangles_local8": round(g8["triangle_sec"], 3),
+        **q,
+    }
+    out = {
+        "metric": "pagerank_edges_per_sec_per_iteration",
+        "value": round(g32["pagerank_edges_per_sec_iter"], 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "graph": {
+            "edge_rows": g32["edge_rows"],
+            "n_files": n_files,
+            "triangles": g32["triangles"],
+        },
+        "throughput": {
+            "pagerank_edges_per_sec_iter_local32": round(g32["pagerank_edges_per_sec_iter"], 1),
+            "pagerank_edges_per_sec_iter_local8": round(g8["pagerank_edges_per_sec_iter"], 1),
+            "triangles_per_sec_local32": round(g32["triangles_per_sec"], 1),
+            "triangles_per_sec_local8": round(g8["triangles_per_sec"], 1),
+            "scaling_efficiency_pagerank_8_to_32": round(eff_pr, 3),
+            "scaling_efficiency_triangles_8_to_32": round(eff_tri, 3),
+        },
+        "conf": CONF_NOTE,
+        "total_bench_sec": round(time.time() - total_t0, 1),
+        **results,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

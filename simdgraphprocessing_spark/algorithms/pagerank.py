@@ -57,15 +57,23 @@ def pagerank(
     # (id, outdeg) for every vertex; dangling => outdeg null
     vtab = vertices.join(out_deg, "id", "left").persist()
     vtab.count()
+    # dangling-mass handling needs a per-superstep driver scalar; skip
+    # the action entirely when the graph has no dangling vertices
+    # (always true for symmetrized graphs)
+    has_dangling = vtab.filter(F.col("outdeg").isNull()).limit(1).count() > 0
 
     init = vtab.select("id", F.lit(1.0 / n).alias("rank"))
 
+    compute_delta = tol > 0
+
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         st = state.join(vtab.select("id", "outdeg"), "id", "left")
-        dangling = (
-            st.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                st.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
         contribs = (
             edges.join(
                 st.select(F.col("id").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")),
@@ -82,12 +90,17 @@ def pagerank(
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
             )
         )
-        delta = (
-            new.join(state.select("id", F.col("rank").alias("old")), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        return new, {"l1_delta": float(delta), "dangling_mass": float(dangling)}
+        m = {"dangling_mass": float(dangling)}
+        if compute_delta:
+            # convergence measure costs an extra V-join + agg; skipped
+            # for fixed-iteration runs (tol <= 0)
+            delta = (
+                new.join(state.select("id", F.col("rank").alias("old")), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            m["l1_delta"] = float(delta)
+        return new, m
 
     result = run_supersteps(
         spark,

@@ -109,37 +109,40 @@ def run_supersteps(
     while k < max_iterations:
         t0 = time.time()
         new_state, m = step(state, k)
-        new_state = new_state.persist()
-        n_rows = new_state.count()  # materialize before unpersisting parent
+        k += 1
+
+        durable = checkpoint_dir and (k % checkpoint_every == 0 or k == max_iterations)
+        if durable:
+            path = _ckpt_path(checkpoint_dir, k)
+            writer = new_state.write.mode("overwrite")
+            if state_partitions:
+                writer = new_state.repartition(state_partitions).write.mode("overwrite")
+            writer.parquet(path)  # the materializing action
+            state.unpersist()
+            # re-read: truncates lineage AND pins state to durable storage
+            new_state = spark.read.parquet(path).persist()
+            n_rows = new_state.count()
+        else:
+            # truncate lineage in-memory between durable checkpoints;
+            # eager localCheckpoint is the single materializing action
+            new_state = new_state.localCheckpoint(eager=True)
+            state.unpersist()
+            n_rows = new_state.count()  # cheap: counts the cached blocks
+
         wall = time.time() - t0
         m = dict(m)
         m.update(
             {
-                "superstep": k + 1,
+                "superstep": k,
                 "rows": n_rows,
                 "wall_sec": round(wall, 4),
                 "partitions": new_state.rdd.getNumPartitions(),
             }
         )
         metrics_log.append(m)
-        k += 1
-
-        if checkpoint_dir and (k % checkpoint_every == 0 or k == max_iterations):
-            path = _ckpt_path(checkpoint_dir, k)
-            writer = new_state.write.mode("overwrite")
-            if state_partitions:
-                writer = new_state.repartition(state_partitions).write.mode("overwrite")
-            writer.parquet(path)
+        if durable:
             with open(_metrics_path(checkpoint_dir, k), "w") as fh:
                 json.dump({"superstep": k, "history": metrics_log}, fh)
-            # re-read: truncates lineage AND pins state to durable storage
-            state.unpersist()
-            new_state.unpersist()
-            new_state = spark.read.parquet(path).persist()
-        else:
-            state.unpersist()
-            # truncate lineage in-memory between durable checkpoints
-            new_state = new_state.localCheckpoint(eager=True)
 
         state = new_state
         if converged and converged(m):

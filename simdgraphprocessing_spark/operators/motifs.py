@@ -38,6 +38,63 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     return verts.groupBy("id").agg(F.count("*").alias("tri"))
 
 
+def tadpole_count(edges: DataFrame) -> DataFrame:
+    """Tadpole motif count (``apps/undirected_tadpole_counting.cpp:67-100``).
+
+    Exact loop semantics (x..b over the full symmetric adjacency):
+    y∈N(x); z∈N(y), z≠x; w∈N(x)∩N(z), w<y; a∈N(x)∖{y,w,z};
+    b∈N(a), b≠x — each assignment counts 1. Expressed as a 6-way
+    conjunctive self-join; Catalyst orders the joins, AQE splits skew.
+    Single row ``(tadpoles bigint)``.
+    """
+    e = edges
+
+    def sel(x, y):
+        return e.select(F.col("src").alias(x), F.col("dst").alias(y))
+
+    q = (
+        sel("x", "y")
+        .join(sel("y", "z"), "y")
+        .filter(F.col("z") != F.col("x"))
+        .join(sel("x", "w"), "x")
+        .join(sel("z", "w"), ["z", "w"], "left_semi")
+        .filter(F.col("w") < F.col("y"))
+        .join(sel("x", "a"), "x")
+        .filter((F.col("a") != F.col("y")) & (F.col("a") != F.col("w")) & (F.col("a") != F.col("z")))
+        .join(sel("a", "b"), "a")
+        .filter(F.col("b") != F.col("x"))
+    )
+    return q.agg(F.count("*").alias("tadpoles"))
+
+
+def fish_count(edges: DataFrame) -> DataFrame:
+    """Fish motif count (``apps/undirected_fish_counting.cpp:80-117``).
+
+    Loop semantics: y∈N(x); z∈N(x)∩N(y), z<y (oriented triangle
+    x,y,z); w∈N(x)∖{y,z}; a∈N(w)∖{x,y,z}; b∈N(x)∩N(a) with b<w,
+    b∉{z,y}. Single row ``(fishes bigint)``.
+    """
+    e = edges
+
+    def sel(x, y):
+        return e.select(F.col("src").alias(x), F.col("dst").alias(y))
+
+    q = (
+        sel("x", "y")
+        .join(sel("x", "z"), "x")
+        .join(sel("y", "z"), ["y", "z"], "left_semi")
+        .filter(F.col("z") < F.col("y"))
+        .join(sel("x", "w"), "x")
+        .filter((F.col("w") != F.col("y")) & (F.col("w") != F.col("z")))
+        .join(sel("w", "a"), "w")
+        .filter((F.col("a") != F.col("x")) & (F.col("a") != F.col("y")) & (F.col("a") != F.col("z")))
+        .join(sel("x", "b"), "x")
+        .join(sel("a", "b"), ["a", "b"], "left_semi")
+        .filter((F.col("b") < F.col("w")) & (F.col("b") != F.col("z")) & (F.col("b") != F.col("y")))
+    )
+    return q.agg(F.count("*").alias("fishes"))
+
+
 def lollipop_count(edges: DataFrame) -> DataFrame:
     """Single row ``(lollipops bigint)`` = Σ_v tri(v)·deg(v)
     (reference golden: 713,455,740 on ego-Facebook)."""

@@ -1,0 +1,22 @@
+from simdgraphprocessing_spark.pipeline.text import (  # noqa: F401
+    tokens_col,
+    token_counts,
+    quality_scores,
+    lang_id,
+    doc_fingerprints,
+)
+from simdgraphprocessing_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash_codes,
+    simhash_near_pairs,
+)
+from simdgraphprocessing_spark.pipeline.similarity import (  # noqa: F401
+    quantize_embeddings,
+    brute_force_topk,
+    topk_matmul,
+    lsh_buckets,
+    lsh_topk,
+)

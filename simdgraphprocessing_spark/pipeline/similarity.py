@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two physical strategies, one semantic:
+
+* :func:`brute_force_topk` — declarative: quantized integer dot
+  products via posexplode + join + sum, ranked per query. Integer
+  quantization (round(x·10⁴)) makes scores exact and engine-portable
+  (the DuckDB oracle reproduces them bit-for-bit) — floats never
+  survive a hash-compare across engines.
+* :func:`topk_matmul` — the throughput path: mapInPandas with a
+  broadcast numpy query matrix; each Arrow batch does one BLAS
+  matmul + argpartition. Same ranking contract (score desc, id asc).
+  This is the one to run at 10^9 vectors — the probe side streams,
+  the query side broadcasts, no shuffle at all.
+* :func:`lsh_buckets` / :func:`lsh_topk` — random-hyperplane LSH:
+  deterministic integer hyperplanes bucket vectors; top-k searches
+  only the query's bucket (the IVF-style scale path).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 10_000
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, qvec array<long>) — integer-quantized embedding."""
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: F.round(x * QUANT).cast("long")).alias("qvec"),
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score) — exact integer-dot top-k.
+
+    Declarative plan: the query set is tiny → broadcast; dims explode
+    to (id, pos, val) postings; one join on pos + groupBy — Catalyst
+    keeps it all in codegen.
+    """
+    q = quantize_embeddings(df, vec_col, id_col).filter(F.col(id_col).isin(query_ids))
+    base = quantize_embeddings(df, vec_col, id_col)
+    qp = q.select(
+        F.col(id_col).alias("query_id"), F.posexplode("qvec").alias("pos", "qv")
+    )
+    bp = base.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("qvec").alias("pos", "bv")
+    )
+    scores = (
+        F.broadcast(qp)
+        .join(bp, "pos")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qv") * F.col("bv")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def topk_matmul(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Same contract as :func:`brute_force_topk`, vectorized:
+    broadcast query matrix, per-batch numpy matmul, then a global
+    top-k re-rank (each partition emits its local top-k per query —
+    correct because global top-k ⊆ union of partition top-ks)."""
+    spark = df.sparkSession
+    q = quantize_embeddings(df, vec_col, id_col).filter(
+        F.col(id_col).isin(query_ids)
+    ).collect()
+    q_ids = np.array([r[id_col] for r in q], dtype=np.int64)
+    q_mat = np.array([r["qvec"] for r in q], dtype=np.int64)
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+
+    base = quantize_embeddings(df, vec_col, id_col)
+
+    def score_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, qm = b_ids.value, b_mat.value
+        for pdf in pdfs:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["qvec"].to_numpy())  # (batch, dim) int64
+            s = qm @ mat.T  # (nq, batch)
+            out = []
+            for row, qid in enumerate(qi):
+                sc = s[row]
+                keep = ids != qid
+                order = np.lexsort((ids[keep], -sc[keep]))[:k]
+                sel = np.nonzero(keep)[0][order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[sel],
+                            "score": sc[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
+
+    partial = base.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def _hyperplane(kk: int, dim_col):
+    """Deterministic integer hyperplane entry in [-3, 3]:
+    ((1009·k + 9176·j + 31) mod 7) − 3 at dimension j."""
+    return (F.lit(1009 * kk) + F.lit(9176) * dim_col + F.lit(31)) % 7 - 3
+
+
+def lsh_buckets(
+    df: DataFrame, n_planes: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, bucket) — random-hyperplane sign LSH, integer math."""
+    base = quantize_embeddings(df, vec_col, id_col)
+    posting = base.select(F.col(id_col), F.posexplode("qvec").alias("pos", "v"))
+    dots = posting.groupBy(id_col).agg(
+        *[
+            F.sum(F.col("v") * _hyperplane(kk, F.col("pos"))).alias(f"d{kk}")
+            for kk in range(n_planes)
+        ]
+    )
+    bucket = None
+    for kk in range(n_planes):
+        bit = F.when(F.col(f"d{kk}") > 0, F.lit(1 << kk)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return dots.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact integer dot ranking restricted to the
+    query's LSH bucket (IVF-style candidate pruning)."""
+    buckets = lsh_buckets(df, n_planes, vec_col, id_col)
+    base = quantize_embeddings(df, vec_col, id_col).join(buckets, id_col)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("bucket"),
+    )
+    cands = F.broadcast(q).join(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col("qvec"), F.col("bucket")),
+        "bucket",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("q_qvec", "qvec", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
