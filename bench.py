@@ -89,10 +89,11 @@ def run_graph_suite(spark, edges_path: str) -> dict:
     pagerank(edges, max_iterations=PR_ITERS, tol=0.0)
     pr_sec = time.time() - t0
 
-    tc = triangle_count(edges)
-    tc.collect()  # warm
+    # fresh plan per run — re-collecting the same DataFrame would reuse
+    # the prior job's shuffle files and time nothing
+    triangle_count(edges).collect()  # warm
     t0 = time.time()
-    triangles = tc.collect()[0]["triangles"]
+    triangles = triangle_count(edges).collect()[0]["triangles"]
     tri_sec = time.time() - t0
 
     edges.unpersist()
@@ -134,7 +135,7 @@ def run_testdata_queries(spark) -> dict:
 def main():
     os.makedirs(CACHE, exist_ok=True)
     n_files = int(
-        os.environ.get("SPARK_GRAFT_BENCH_FILES", str(max(2000, int(3_000_000 * SF))))
+        os.environ.get("SPARK_GRAFT_BENCH_FILES", str(max(2000, int(10_000_000 * SF))))
     )
 
     total_t0 = time.time()

@@ -1,0 +1,6 @@
+from simdgraphprocessing_spark.functions.reorder import (  # noqa: F401
+    reorder_by_degree,
+    reorder_by_rev_degree,
+    reorder_strong_run,
+    reorder_random,
+)
