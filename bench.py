@@ -26,9 +26,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 PR_ITERS = 5
+# Bench-session tuning (recorded beside every number, BASELINE.md §5):
+# ramdisk shuffle dir + no shuffle compression (the bench graph's
+# shuffles are ~1 GB; removes disk I/O as a confound when comparing
+# parallelism levels), shuffle-hash preferred over sort-merge (no
+# 19M-row re-sort per joined stage), AQE coalescing off so the
+# partition count actually reflects the requested parallelism.
+BENCH_CONF = {
+    "spark.local.dir": "/dev/shm/spark-tmp",
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
 CONF_NOTE = {
+    **BENCH_CONF,
     "spark.sql.adaptive.enabled": "true",
-    "spark.sql.shuffle.partitions": "=cores",
+    "spark.sql.shuffle.partitions": "= 2 x cores",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
 }
 
@@ -46,7 +60,8 @@ def _session(cores: int):
     return get_spark(
         app_name=f"bench-local{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=2 * cores,
+        extra_conf=dict(BENCH_CONF),
     )
 
 
@@ -72,11 +87,9 @@ def build_bench_graph(spark, n_files: int) -> tuple[str, float]:
     return path, time.time() - t0
 
 
-def run_graph_suite(spark, edges_path: str) -> dict:
+def run_graph_suite(spark, edges_path: str, do_triangles: bool = True) -> dict:
     """PageRank (warmup + PR_ITERS timed) and triangle count on the
     cached graph. Returns timings + counts."""
-    from pyspark.sql import functions as F
-
     from simdgraphprocessing_spark.algorithms import pagerank
     from simdgraphprocessing_spark.operators import triangle_count
 
@@ -89,22 +102,27 @@ def run_graph_suite(spark, edges_path: str) -> dict:
     pagerank(edges, max_iterations=PR_ITERS, tol=0.0)
     pr_sec = time.time() - t0
 
-    # fresh plan per run — re-collecting the same DataFrame would reuse
-    # the prior job's shuffle files and time nothing
-    triangle_count(edges).collect()  # warm
-    t0 = time.time()
-    triangles = triangle_count(edges).collect()[0]["triangles"]
-    tri_sec = time.time() - t0
-
-    edges.unpersist()
-    return {
+    out = {
         "edge_rows": n_edge_rows,
         "pagerank_sec": pr_sec,
         "pagerank_edges_per_sec_iter": n_edge_rows * PR_ITERS / pr_sec,
-        "triangles": int(triangles),
-        "triangle_sec": tri_sec,
-        "triangles_per_sec": triangles / tri_sec if tri_sec > 0 else 0.0,
     }
+    if do_triangles:
+        # fresh plan per run — re-collecting the same DataFrame would
+        # reuse the prior job's shuffle files and time nothing
+        triangle_count(edges).collect()  # warm
+        t0 = time.time()
+        triangles = triangle_count(edges).collect()[0]["triangles"]
+        tri_sec = time.time() - t0
+        out.update(
+            {
+                "triangles": int(triangles),
+                "triangle_sec": tri_sec,
+                "triangles_per_sec": triangles / tri_sec if tri_sec > 0 else 0.0,
+            }
+        )
+    edges.unpersist()
+    return out
 
 
 def run_testdata_queries(spark) -> dict:
@@ -135,7 +153,7 @@ def run_testdata_queries(spark) -> dict:
 def main():
     os.makedirs(CACHE, exist_ok=True)
     n_files = int(
-        os.environ.get("SPARK_GRAFT_BENCH_FILES", str(max(2000, int(10_000_000 * SF))))
+        os.environ.get("SPARK_GRAFT_BENCH_FILES", str(max(2000, int(20_000_000 * SF))))
     )
 
     total_t0 = time.time()
@@ -146,43 +164,64 @@ def main():
     edges_path, etl_sec = build_bench_graph(spark32, n_files)
     results["etl_sec"] = round(etl_sec, 2)
 
-    # ---- graph suite at local[32]
-    g32 = run_graph_suite(spark32, edges_path)
+    # ---- graph suite at local[32], then the testdata queries
+    suite = {32: run_graph_suite(spark32, edges_path)}
     q = run_testdata_queries(spark32)
 
-    # ---- identical job at local[8]
-    spark8 = _session(8)
-    g8 = run_graph_suite(spark8, edges_path)
-    spark8.stop()
+    # ---- identical job at lower parallelism (N vs 4N pairs: 2→8, 8→32;
+    # triangles are CPU-bound and measured on the 8→32 pair, PageRank's
+    # shuffle saturates memory bandwidth past ~16 local threads so its
+    # honest core-scaling pair is 2→8 — both reported)
+    for cores in (8, 2):
+        s = _session(cores)
+        suite[cores] = run_graph_suite(s, edges_path, do_triangles=(cores == 8))
+    from pyspark.sql import SparkSession
 
-    eff_pr = (g32["pagerank_edges_per_sec_iter"] / g8["pagerank_edges_per_sec_iter"]) / 4
-    eff_tri = (g32["triangles_per_sec"] / g8["triangles_per_sec"]) / 4
+    a = SparkSession.getActiveSession()
+    if a:
+        a.stop()
+
+    def eff(metric, lo, hi):
+        return round((suite[hi][metric] / suite[lo][metric]) / (hi / lo), 3)
 
     queries = {
-        "pagerank_5iter_local32": round(g32["pagerank_sec"], 3),
-        "pagerank_5iter_local8": round(g8["pagerank_sec"], 3),
-        "triangles_local32": round(g32["triangle_sec"], 3),
-        "triangles_local8": round(g8["triangle_sec"], 3),
+        **{
+            f"pagerank_{PR_ITERS}iter_local{c}": round(suite[c]["pagerank_sec"], 3)
+            for c in suite
+        },
+        **{
+            f"triangles_local{c}": round(suite[c]["triangle_sec"], 3)
+            for c in suite
+            if "triangle_sec" in suite[c]
+        },
         **q,
     }
     out = {
         "metric": "pagerank_edges_per_sec_per_iteration",
-        "value": round(g32["pagerank_edges_per_sec_iter"], 1),
+        "value": round(suite[32]["pagerank_edges_per_sec_iter"], 1),
         "unit": "sec",
         "queries": queries,
         "sf": SF,
         "graph": {
-            "edge_rows": g32["edge_rows"],
+            "edge_rows": suite[32]["edge_rows"],
             "n_files": n_files,
-            "triangles": g32["triangles"],
+            "triangles": suite[32]["triangles"],
         },
         "throughput": {
-            "pagerank_edges_per_sec_iter_local32": round(g32["pagerank_edges_per_sec_iter"], 1),
-            "pagerank_edges_per_sec_iter_local8": round(g8["pagerank_edges_per_sec_iter"], 1),
-            "triangles_per_sec_local32": round(g32["triangles_per_sec"], 1),
-            "triangles_per_sec_local8": round(g8["triangles_per_sec"], 1),
-            "scaling_efficiency_pagerank_8_to_32": round(eff_pr, 3),
-            "scaling_efficiency_triangles_8_to_32": round(eff_tri, 3),
+            **{
+                f"pagerank_edges_per_sec_iter_local{c}": round(
+                    suite[c]["pagerank_edges_per_sec_iter"], 1
+                )
+                for c in suite
+            },
+            **{
+                f"triangles_per_sec_local{c}": round(suite[c]["triangles_per_sec"], 1)
+                for c in suite
+                if "triangles_per_sec" in suite[c]
+            },
+            "scaling_efficiency_pagerank_2_to_8": eff("pagerank_edges_per_sec_iter", 2, 8),
+            "scaling_efficiency_pagerank_8_to_32": eff("pagerank_edges_per_sec_iter", 8, 32),
+            "scaling_efficiency_triangles_8_to_32": eff("triangles_per_sec", 8, 32),
         },
         "conf": CONF_NOTE,
         "total_bench_sec": round(time.time() - total_t0, 1),

@@ -46,7 +46,8 @@ def connected_components(
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         nbr_min = (
             edges.join(
-                state.select(F.col("id").alias("src"), F.col("component").alias("c")),
+                state.select(F.col("id").alias("src"), F.col("component").alias("c"))
+                .hint("shuffle_hash"),  # V-sized side builds the hash; no E re-sort
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))

@@ -46,7 +46,8 @@ def label_propagation(
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
         counts = (
             edges.join(
-                state.select(F.col("id").alias("src"), F.col("label").alias("l")),
+                state.select(F.col("id").alias("src"), F.col("label").alias("l"))
+                .hint("shuffle_hash"),  # V-sized side builds the hash; no E re-sort
                 "src",
             )
             .groupBy(F.col("dst").alias("id"), F.col("l"))

@@ -62,21 +62,29 @@ def pagerank(
     # (always true for symmetrized graphs)
     has_dangling = vtab.filter(F.col("outdeg").isNull()).limit(1).count() > 0
 
-    init = vtab.select("id", F.lit(1.0 / n).alias("rank"))
+    # outdeg rides inside the state so the superstep needs no extra
+    # vertex-table join to compute rank/outdeg
+    init = vtab.select("id", F.lit(1.0 / n).alias("rank"), "outdeg")
 
     compute_delta = tol > 0
 
     def step(state: DataFrame, k: int) -> tuple[DataFrame, dict]:
-        st = state.join(vtab.select("id", "outdeg"), "id", "left")
         dangling = 0.0
         if has_dangling:
             dangling = (
-                st.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).collect()[0][0]
+                state.filter(F.col("outdeg").isNull())
+                .agg(F.sum("rank"))
+                .collect()[0][0]
                 or 0.0
             )
+        # the E-sized join: edges stay put (pre-partitioned by src,
+        # persisted); the V-sized rank side shuffles to it and builds a
+        # hash table (shuffle_hash — no 19M-row re-sort per superstep)
         contribs = (
             edges.join(
-                st.select(F.col("id").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")),
+                state.select(
+                    F.col("id").alias("src"), (F.col("rank") / F.col("outdeg")).alias("w")
+                ).hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
@@ -84,10 +92,11 @@ def pagerank(
         )
         base = (1.0 - damping) / n + damping * dangling / n
         new = (
-            vertices.join(contribs, "id", "left")
+            vtab.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
+                "outdeg",
             )
         )
         m = {"dangling_mass": float(dangling)}
@@ -112,4 +121,5 @@ def pagerank(
         checkpoint_every=checkpoint_every,
     )
     edges.unpersist()
+    result.state = result.state.select("id", "rank")
     return result

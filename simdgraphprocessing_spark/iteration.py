@@ -125,9 +125,10 @@ def run_supersteps(
         else:
             # truncate lineage in-memory between durable checkpoints;
             # eager localCheckpoint is the single materializing action
+            # (no extra count job — row count is a durable-ckpt metric)
             new_state = new_state.localCheckpoint(eager=True)
             state.unpersist()
-            n_rows = new_state.count()  # cheap: counts the cached blocks
+            n_rows = None
 
         wall = time.time() - t0
         m = dict(m)
@@ -136,7 +137,6 @@ def run_supersteps(
                 "superstep": k,
                 "rows": n_rows,
                 "wall_sec": round(wall, 4),
-                "partitions": new_state.rdd.getNumPartitions(),
             }
         )
         metrics_log.append(m)
