@@ -65,6 +65,29 @@ def _session(cores: int):
     )
 
 
+def _pinned_suite(cores: int, edges_path: str, do_triangles: bool) -> dict:
+    """Run the graph suite in a FRESH process pinned to exactly
+    ``cores`` CPUs (taskset): a plain ``local[N]`` in a shared JVM
+    still gets all host cores for GC/shuffle-IO threads and inherits
+    heap state from previous levels, which corrupts the N-vs-4N
+    comparison. Falls back to in-process local[N] without taskset."""
+    import shutil
+    import subprocess
+
+    if shutil.which("taskset") is None:
+        s = _session(cores)
+        return run_graph_suite(s, edges_path, do_triangles)
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, os.path.abspath(__file__),
+        "--suite", str(cores), edges_path, "1" if do_triangles else "0",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(f"suite subprocess failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def _bench_graph_path(n_files: int) -> str:
     return os.path.join(CACHE, f"edges_n{n_files}")
 
@@ -98,22 +121,37 @@ def run_graph_suite(spark, edges_path: str, do_triangles: bool = True) -> dict:
 
     # warm-up (JIT, code-gen, page cache)
     pagerank(edges, max_iterations=1, tol=0.0)
-    t0 = time.time()
-    pagerank(edges, max_iterations=PR_ITERS, tol=0.0)
-    pr_sec = time.time() - t0
+    # robust measurement: two runs, per-superstep walls from the
+    # driver's metrics, take the median of all steady-state steps —
+    # local-mode JVMs have multi-second GC outliers that a single
+    # total-wall sample cannot separate from real throughput
+    walls: list[float] = []
+    pr_total = []
+    for _ in range(2):
+        t0 = time.time()
+        res = pagerank(edges, max_iterations=PR_ITERS, tol=0.0)
+        pr_total.append(time.time() - t0)
+        walls.extend(m["wall_sec"] for m in res.metrics)
+    walls.sort()
+    med_step = walls[len(walls) // 2]
 
     out = {
         "edge_rows": n_edge_rows,
-        "pagerank_sec": pr_sec,
-        "pagerank_edges_per_sec_iter": n_edge_rows * PR_ITERS / pr_sec,
+        "pagerank_sec": min(pr_total),
+        "pagerank_step_walls": walls,
+        "pagerank_median_step_sec": med_step,
+        "pagerank_edges_per_sec_iter": n_edge_rows / med_step,
     }
     if do_triangles:
         # fresh plan per run — re-collecting the same DataFrame would
         # reuse the prior job's shuffle files and time nothing
         triangle_count(edges).collect()  # warm
-        t0 = time.time()
-        triangles = triangle_count(edges).collect()[0]["triangles"]
-        tri_sec = time.time() - t0
+        tri_secs = []
+        for _ in range(2):
+            t0 = time.time()
+            triangles = triangle_count(edges).collect()[0]["triangles"]
+            tri_secs.append(time.time() - t0)
+        tri_sec = min(tri_secs)
         out.update(
             {
                 "triangles": int(triangles),
@@ -164,22 +202,19 @@ def main():
     edges_path, etl_sec = build_bench_graph(spark32, n_files)
     results["etl_sec"] = round(etl_sec, 2)
 
-    # ---- graph suite at local[32], then the testdata queries
-    suite = {32: run_graph_suite(spark32, edges_path)}
+    # ---- testdata queries in the parent session
     q = run_testdata_queries(spark32)
+    spark32.stop()
+    time.sleep(1)
 
-    # ---- identical job at lower parallelism (N vs 4N pairs: 2→8, 8→32;
-    # triangles are CPU-bound and measured on the 8→32 pair, PageRank's
-    # shuffle saturates memory bandwidth past ~16 local threads so its
-    # honest core-scaling pair is 2→8 — both reported)
-    for cores in (8, 2):
-        s = _session(cores)
-        suite[cores] = run_graph_suite(s, edges_path, do_triangles=(cores == 8))
-    from pyspark.sql import SparkSession
-
-    a = SparkSession.getActiveSession()
-    if a:
-        a.stop()
+    # ---- identical job at three parallelism levels, each a fresh
+    # CPU-pinned process (N vs 4N pairs: 2→8 and 8→32). Triangles are
+    # CPU-bound; PageRank's E-sized shuffle starts saturating single-box
+    # memory bandwidth at high core counts (a real cluster adds
+    # bandwidth with executors; one box does not) — both pairs reported.
+    suite = {}
+    for cores in (32, 8, 2):
+        suite[cores] = _pinned_suite(cores, edges_path, do_triangles=(cores != 2))
 
     def eff(metric, lo, hi):
         return round((suite[hi][metric] / suite[lo][metric]) / (hi / lo), 3)
@@ -230,5 +265,16 @@ def main():
     print(json.dumps(out))
 
 
+def suite_main(cores: int, edges_path: str, do_triangles: bool):
+    """Child-process entrypoint (CPU-pinned by the parent)."""
+    spark = _session(cores)
+    out = run_graph_suite(spark, edges_path, do_triangles)
+    spark.stop()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--suite":
+        suite_main(int(sys.argv[2]), sys.argv[3], sys.argv[4] == "1")
+    else:
+        main()
