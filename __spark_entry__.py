@@ -343,6 +343,12 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(_embs(spark, sf_dir), ANN_QUERY_IDS, k=5)
 
 
+def _q_embedding_cosine_dups(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import embedding_cosine_dups
+
+    return embedding_cosine_dups(_embs(spark, sf_dir), thr_num=2, thr_den=5)
+
+
 # -- SQL generation helpers (same constants as the Spark pipeline) --
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
@@ -537,6 +543,22 @@ s AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
 SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5
 """,
+        # cosine ≥ 2/5 within one shared LSH bucket, int64-exact:
+        # dot>0 ∧ 25·dot² ≥ 4·na·nb (quant=1000 keeps all terms <2^63)
+        "embedding_cosine_dups": f"""
+WITH {_lsh_bucket_sql()},
+qv1 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q1
+        FROM embeddings),
+base AS (SELECT b.vec_id, q1, bucket,
+                CAST(list_sum(list_transform(q1, x -> x * x)) AS BIGINT) AS norm2
+         FROM bkt b JOIN qv1 USING (vec_id)),
+pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                 CAST(list_dot_product(l.q1, r.q1) AS BIGINT) AS dot,
+                 l.norm2 AS na, r.norm2 AS nb
+          FROM base l JOIN base r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT a, b, dot, na, nb FROM pairs
+WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+""",
     }
 
 
@@ -578,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_matmul": _q_ann_topk_matmul,
         "embedding_lsh_buckets": _q_lsh_buckets,
         "embedding_lsh_topk": _q_lsh_topk,
+        "embedding_cosine_dups": _q_embedding_cosine_dups,
     }
 
 

@@ -12,14 +12,15 @@ tests actually rely on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from simdgraphprocessing_spark.functions.ranking import global_row_number
 from simdgraphprocessing_spark.graph import degrees
 
 
 def _rank(deg: DataFrame, order) -> DataFrame:
-    return deg.withColumn("new_id", F.row_number().over(Window.orderBy(*order)) - 1)
+    return global_row_number(deg, order, out_col="new_id")
 
 
 def reorder_by_degree(edges: DataFrame) -> DataFrame:
@@ -52,12 +53,11 @@ def reorder_strong_run(edges: DataFrame) -> DataFrame:
             "owner",
         )
     )
-    w = Window.orderBy(
-        F.col("owner_deg").desc(), F.col("owner").asc(), F.col("id").asc()
-    )
-    return ranked.withColumn("new_id", F.row_number().over(w) - 1).select(
-        "id", "new_id", "degree"
-    )
+    return global_row_number(
+        ranked,
+        [F.col("owner_deg").desc(), F.col("owner").asc(), F.col("id").asc()],
+        out_col="new_id",
+    ).select("id", "new_id", "degree")
 
 
 def reorder_random(edges: DataFrame, seed: int = 42) -> DataFrame:

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -69,14 +69,17 @@ def degree_rank_ids(edges: DataFrame) -> DataFrame:
     ``OrderNeighborhoodByDegree`` ``:20-32``). Returns
     ``(id, new_id, degree)`` with ``new_id`` in ``[0, V)``.
 
-    A global ``row_number`` over V rows: fine even at 10^10 vertices it
-    would become ``zipWithIndex``-style two-pass ranking; at our scales
-    a single-window rank over the vertex table is the simple, exact
-    choice and touches only V rows, never E.
+    Ranking is the scalable two-pass range-partition scheme
+    (:func:`~simdgraphprocessing_spark.functions.ranking.global_row_number`)
+    — never a single-partition window — so it holds at 10^10 vertices.
+    It touches only V rows, never E.
     """
+    from simdgraphprocessing_spark.functions.ranking import global_row_number
+
     deg = degrees(edges)
-    w = Window.orderBy(F.col("degree").desc(), F.col("id").asc())
-    return deg.withColumn("new_id", F.row_number().over(w) - F.lit(1))
+    return global_row_number(
+        deg, [F.col("degree").desc(), F.col("id").asc()], out_col="new_id"
+    )
 
 
 def reassign_ids(edges: DataFrame, mapping: DataFrame) -> DataFrame:

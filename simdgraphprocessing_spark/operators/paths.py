@@ -26,12 +26,18 @@ def bfs_levels(
     """(id, level) for every vertex reachable from ``start``
     (default: max-degree vertex, reference ``n_path.cpp:32-36``)."""
     spark: SparkSession = edges.sparkSession
+    # The frontier loop touches the edge table once per level; persist
+    # it so an upstream ETL plan (e.g. the corpus self-join) runs once,
+    # not once per level — the analog of the reference holding its CSR
+    # in memory across the whole n_path loop (apps/n_path.cpp:58-83).
+    edges = edges.select("src", "dst").persist()
     if start is None:
         start = max_degree_vertex(edges).collect()[0]["id"]
 
     frontier = spark.createDataFrame([(int(start),)], "id long")
     visited = frontier.withColumn("level", F.lit(0))
     level = 0
+    frontiers = []
     while level < max_depth:
         nxt = (
             edges.join(
@@ -49,7 +55,12 @@ def bfs_levels(
         visited = visited.union(nxt.withColumn("level", F.lit(level)))
         if level % checkpoint_every == 0:
             visited = visited.localCheckpoint(eager=True)
+        frontiers.append(nxt)
         frontier = nxt
+    visited = visited.localCheckpoint(eager=True)
+    edges.unpersist()
+    for f in frontiers:
+        f.unpersist()
     return visited
 
 

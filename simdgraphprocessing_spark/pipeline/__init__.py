@@ -19,4 +19,5 @@ from simdgraphprocessing_spark.pipeline.similarity import (  # noqa: F401
     topk_matmul,
     lsh_buckets,
     lsh_topk,
+    embedding_cosine_dups,
 )

@@ -29,11 +29,16 @@ from pyspark.sql import functions as F
 QUANT = 10_000
 
 
-def quantize_embeddings(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = QUANT,
+) -> DataFrame:
     """(vec_id, qvec array<long>) — integer-quantized embedding."""
     return df.select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: F.round(x * QUANT).cast("long")).alias("qvec"),
+        F.transform(F.col(vec_col), lambda x: F.round(x * quant).cast("long")).alias("qvec"),
     )
 
 
@@ -154,6 +159,71 @@ def lsh_buckets(
         bit = F.when(F.col(f"d{kk}") > 0, F.lit(1 << kk)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return dots.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    thr_num: int = 9,
+    thr_den: int = 10,
+    n_planes: int = 8,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(a, b, dot, na, nb) — embedding near-duplicate pairs: cosine ≥
+    thr_num/thr_den, candidates restricted to one shared LSH bucket
+    (the scale path: the self-join is bucketed, never all-pairs; a
+    vector has exactly one bucket, so each pair appears at most once).
+
+    The cosine test is pure int64 arithmetic on quantized vectors —
+    ``dot > 0 ∧ thr_den²·dot² ≥ thr_num²·na·nb`` — so the DuckDB
+    oracle reproduces it bit-for-bit with no float rounding hazard.
+    ``quant=1000`` keeps thr_den²·dot² within int64 for 64-dim unit-ish
+    embeddings (|x|≤3, dims≤64, thr_den≤16 stay safe).
+
+    Closes the dedup family of the training-pipeline brief: exact /
+    MinHash+LSH / SimHash / n-gram Jaccard / **embedding-cosine**.
+    """
+    buckets = lsh_buckets(df, n_planes, vec_col, id_col)
+    q = quantize_embeddings(df, vec_col, id_col, quant=quant)
+    base = (
+        q.join(buckets, id_col)
+        .select(
+            F.col(id_col),
+            F.col("qvec"),
+            F.col("bucket"),
+            F.aggregate(
+                F.transform("qvec", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("norm2"),
+        )
+    )
+    l = base.select(
+        F.col(id_col).alias("a"), F.col("qvec").alias("qa"),
+        F.col("norm2").alias("na"), "bucket",
+    )
+    r = base.select(
+        F.col(id_col).alias("b"), F.col("qvec").alias("qb"),
+        F.col("norm2").alias("nb"), "bucket",
+    )
+    pairs = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    scored = pairs.select(
+        "a", "b",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        "na", "nb",
+    )
+    return scored.filter(
+        (F.col("dot") > 0)
+        & (
+            F.lit(thr_den * thr_den) * F.col("dot") * F.col("dot")
+            >= F.lit(thr_num * thr_num) * F.col("na") * F.col("nb")
+        )
+    )
 
 
 def lsh_topk(

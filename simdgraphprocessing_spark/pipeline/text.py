@@ -13,7 +13,7 @@ drop empties. Keep the two sides in lockstep.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -99,11 +99,15 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def token_dictionary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(token, tid) — dense ids by token sort order, shared with the
-    SQL oracles (dense_rank over ORDER BY token). One V-sized window."""
+    SQL oracles (dense_rank over ORDER BY token = 1-based row_number
+    over the distinct tokens). Ranked with the scalable two-pass
+    range-partition scheme, never a single-partition window."""
+    from simdgraphprocessing_spark.functions.ranking import global_row_number
+
     toks = docs.select(F.explode(tokens_col(text_col)).alias("token")).distinct()
-    return toks.withColumn(
-        "tid", F.dense_rank().over(Window.orderBy("token")).cast("long")
-    )
+    return global_row_number(
+        toks, [F.col("token").asc()], out_col="tid", start=1
+    ).withColumn("tid", F.col("tid").cast("long"))
 
 
 def doc_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

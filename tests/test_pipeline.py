@@ -206,3 +206,24 @@ def test_multimodal_plumbing(spark):
     vid = media.filter(F.col("kind") == "video").collect()
     expect = sum(len(range(0, r["duration_ms"], 400)) for r in vid)
     assert fs.count() == expect
+
+
+def test_embedding_cosine_dups(spark):
+    from simdgraphprocessing_spark.pipeline import embedding_cosine_dups
+
+    # v0 ≈ v1 (cos ~ 1, same LSH bucket since signs of plane dots
+    # match), v2 orthogonal-ish to both
+    rows = [
+        (0, [0.5, 0.4, -0.3, 0.2]),
+        (1, [0.5, 0.4, -0.3, 0.2]),
+        (2, [-0.4, 0.5, 0.3, -0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["a"], r["b"]) for r in embedding_cosine_dups(df, thr_num=9, thr_den=10).collect()
+    }
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+    # int columns only (hash-stable across engines)
+    row = embedding_cosine_dups(df, thr_num=9, thr_den=10).collect()[0]
+    assert row["dot"] == row["na"] == row["nb"]  # identical vectors
