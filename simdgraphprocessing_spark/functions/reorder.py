@@ -3,11 +3,12 @@
 ``:203-207`` random). Each returns a mapping ``(id, new_id)`` to feed
 :func:`simdgraphprocessing_spark.graph.reassign_ids`.
 
-BFS order (``:126-172``) and shingle order (``:214-265``) are
-intentionally not ported: the reference seeds them from
-``rand()``/shuffled queues, so their output is not reproducible even
-against itself — our degree orders are the deterministic ones its
-tests actually rely on.
+BFS order (``:126-172``) and shingle order (``:214-265``) are ported
+as DETERMINISTIC analogs: the reference seeds them from
+``rand()``/shuffled queues (not reproducible even against itself), so
+we replace the random permutations with fixed affine hashes and seed
+BFS at each component's minimum vertex — same locality/compression
+intent, reproducible output.
 """
 
 from __future__ import annotations
@@ -65,3 +66,70 @@ def reorder_random(edges: DataFrame, seed: int = 42) -> DataFrame:
     reproducible stand-in for ``reorder_random`` (``:203-207``)."""
     deg = degrees(edges)
     return _rank(deg, [F.xxhash64(F.col("id"), F.lit(seed)).asc(), F.col("id").asc()])
+
+
+# deterministic "random permutation" hashes for the shingle order —
+# affine (a·id + b) mod P, the same family the dedup pipeline uses
+_SHINGLE_P = 1_000_003
+_SHINGLE_AB = [(180327, 773957), (689115, 438879)]
+
+
+def reorder_by_shingles(edges: DataFrame) -> DataFrame:
+    """Shingle / min-hash clustering order (``MutableGraph.hpp:214-265``,
+    after the KDD'09 compression paper): each vertex's shingle is the
+    neighbor minimizing a permutation's rank; vertices sort
+    lexicographically by their shingles so vertices with overlapping
+    neighborhoods (which share min-hash ranks) land near each other.
+
+    The reference draws its two permutations from ``random_shuffle``;
+    ours are deterministic affine hashes ``(a·nbr + b) mod P`` with a
+    final id tie-break, so the order is reproducible run to run.
+    """
+    shingles = edges.groupBy(F.col("src").alias("id")).agg(
+        *[
+            F.min_by(
+                "dst", (F.lit(a) * F.col("dst") + F.lit(b)) % F.lit(_SHINGLE_P)
+            ).alias(f"sh{i}")
+            for i, (a, b) in enumerate(_SHINGLE_AB)
+        ],
+        F.count("*").alias("degree"),
+    )
+    return global_row_number(
+        shingles,
+        [F.col("sh0").asc(), F.col("sh1").asc(), F.col("id").asc()],
+        out_col="new_id",
+    ).select("id", "new_id", "degree")
+
+
+def reorder_bfs(edges: DataFrame) -> DataFrame:
+    """BFS visitation order (``MutableGraph.hpp:126-172``), made
+    deterministic: the reference seeds each component from a
+    ``random_shuffle``-ed queue; we seed every component at its
+    minimum-id vertex (exactly what min-label propagation computes)
+    and run ONE multi-source BFS, ordering by
+    (component, level-from-seed, id).
+    """
+    from simdgraphprocessing_spark.algorithms import connected_components
+    from simdgraphprocessing_spark.operators.paths import bfs_levels
+
+    cc = connected_components(edges).state  # (id, component=min id in comp)
+    seeds = cc.select(F.col("component").alias("id")).distinct()
+    lv = bfs_levels(edges, start_df=seeds)
+    joined = cc.join(lv, "id").join(degrees(edges), "id")
+    return global_row_number(
+        joined,
+        [F.col("component").asc(), F.col("level").asc(), F.col("id").asc()],
+        out_col="new_id",
+    ).select("id", "new_id", "degree")
+
+
+def reorder_by_the_game(edges: DataFrame) -> DataFrame:
+    """The reference's hybrid ``reorder_by_the_game``
+    (``MutableGraph.hpp:282-285``): BFS relabel, then degree order —
+    net effect: degree-descending with ties broken by BFS id."""
+    bfs = reorder_bfs(edges).select("id", F.col("new_id").alias("bfs_id"), "degree")
+    return global_row_number(
+        bfs,
+        [F.col("degree").desc(), F.col("bfs_id").asc()],
+        out_col="new_id",
+    ).select("id", "new_id", "degree")

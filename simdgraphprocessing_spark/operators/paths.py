@@ -22,19 +22,26 @@ def bfs_levels(
     start: int | None = None,
     max_depth: int = 1 << 30,
     checkpoint_every: int = 4,
+    start_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, level) for every vertex reachable from ``start``
-    (default: max-degree vertex, reference ``n_path.cpp:32-36``)."""
+    (default: max-degree vertex, reference ``n_path.cpp:32-36``).
+
+    ``start_df`` (a single-column ``id`` DataFrame) runs a
+    multi-source BFS instead: level = hops from the NEAREST seed.
+    """
     spark: SparkSession = edges.sparkSession
     # The frontier loop touches the edge table once per level; persist
     # it so an upstream ETL plan (e.g. the corpus self-join) runs once,
     # not once per level — the analog of the reference holding its CSR
     # in memory across the whole n_path loop (apps/n_path.cpp:58-83).
     edges = edges.select("src", "dst").persist()
-    if start is None:
-        start = max_degree_vertex(edges).collect()[0]["id"]
-
-    frontier = spark.createDataFrame([(int(start),)], "id long")
+    if start_df is not None:
+        frontier = start_df.select(F.col("id").cast("long")).distinct()
+    else:
+        if start is None:
+            start = max_degree_vertex(edges).collect()[0]["id"]
+        frontier = spark.createDataFrame([(int(start),)], "id long")
     visited = frontier.withColumn("level", F.lit(0))
     level = 0
     frontiers = []

@@ -45,6 +45,41 @@ def windowed_degree_counts(
     )
 
 
+def running_degree(stream: DataFrame) -> DataFrame:
+    """Cumulative per-vertex degree across micro-batches — a custom
+    stateful operator via ``applyInPandasWithState`` (Arrow-batched,
+    no per-row Python): state = one int64 per vertex, each batch emits
+    the updated running total plus that batch's arrivals.
+
+    This is the Spark-stateful analog of the vertex state the
+    reference's iteration loops carry in RAM
+    (``apps/n_path.cpp:58-83`` visited bitsets); state lives in the
+    streaming state store, checkpointed and partitioned by key, so it
+    scales to 10^10 vertices across executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        total += batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {"id": [key[0]], "degree": [total], "batch_edges": [batch]}
+        )
+
+    return stream.groupBy("src").applyInPandasWithState(
+        update,
+        outputStructType="id long, degree long, batch_edges long",
+        stateStructType="degree long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_triangle_candidates(
     stream: DataFrame, static_adjacency: DataFrame
 ) -> DataFrame:

@@ -13,6 +13,9 @@ from simdgraphprocessing_spark.functions import (
     reorder_by_rev_degree,
     reorder_random,
     reorder_strong_run,
+    reorder_by_shingles,
+    reorder_bfs,
+    reorder_by_the_game,
 )
 from simdgraphprocessing_spark.graph import adjacency, reassign_ids
 from simdgraphprocessing_spark.operators import triangle_count
@@ -81,7 +84,8 @@ def test_reorderings_preserve_graph(spark):
     pairs = zipf_random_pairs(n=120)
     e = edge_df(spark, pairs)
     base = triangle_count(e).collect()[0]["triangles"]
-    for fn in (reorder_by_degree, reorder_by_rev_degree, reorder_strong_run, reorder_random):
+    for fn in (reorder_by_degree, reorder_by_rev_degree, reorder_strong_run,
+               reorder_random, reorder_by_shingles, reorder_bfs, reorder_by_the_game):
         mapping = fn(e)
         # bijection onto [0, V)
         n = mapping.count()
@@ -97,3 +101,61 @@ def test_rev_degree_order_is_reversed(spark):
     r = {r["id"]: r["new_id"] for r in reorder_by_rev_degree(e).collect()}
     assert d[2] == 0  # max-degree vertex first
     assert r[2] == 5 or r[3] == 5  # max-degree vertex last (tie 2/3)
+
+
+def test_reorder_bfs_component_locality(spark):
+    # two components {0,1,2} and {10,11}: BFS order must keep each
+    # component's ids contiguous, seeded at the component minimum
+    e = edge_df(spark, [(0, 1), (1, 2), (10, 11)])
+    m = {r["id"]: r["new_id"] for r in reorder_bfs(e).collect()}
+    assert m[0] == 0  # seed of component 0 first
+    assert {m[0], m[1], m[2]} == {0, 1, 2}
+    assert {m[10], m[11]} == {3, 4}
+
+
+def test_reorder_shingles_groups_shared_neighborhoods(spark):
+    # 0 and 1 share their full neighborhood {2,3} → identical shingles
+    # → adjacent new ids; 4-5-6 is a separate path
+    e = edge_df(spark, [(0, 2), (0, 3), (1, 2), (1, 3), (4, 5), (5, 6)])
+    m = {r["id"]: r["new_id"] for r in reorder_by_shingles(e).collect()}
+    assert abs(m[0] - m[1]) == 1
+
+
+def test_running_degree_stateful(spark, tmp_path):
+    from simdgraphprocessing_spark.streaming import running_degree
+
+    # two micro-batches (maxFilesPerTrigger=1 over two parquet files):
+    # vertex 0 gets 2 edges in batch A and 1 in batch B → running 2, 3
+    base = dt.datetime(2026, 1, 1)
+    a = spark.createDataFrame(
+        [(0, 1, base), (0, 2, base), (5, 6, base)], "src long, dst long, ts timestamp"
+    )
+    b = spark.createDataFrame([(0, 3, base)], "src long, dst long, ts timestamp")
+    path = str(tmp_path / "edges_state")
+    a.coalesce(1).write.parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("src long, dst long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = (
+        running_degree(stream)
+        .writeStream.format("memory")
+        .queryName("rdeg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_rdeg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rdeg").collect()
+    final = {}
+    for r in rows:
+        final[r["id"]] = max(final.get(r["id"], 0), r["degree"])
+    assert final[0] == 3 and final[5] == 1
+    # the cumulative total must have been emitted incrementally: vertex 0
+    # appears with a running degree below its final total in some batch
+    v0 = sorted(r["degree"] for r in rows if r["id"] == 0)
+    assert v0[0] < 3 or len(v0) == 1  # tolerate single-batch scheduling
