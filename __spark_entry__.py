@@ -580,7 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "pagerank": _q_pagerank,
-        "label_propagation": _q_label_propagation,  # rows-only (no oracle)
+        "label_propagation": _q_label_propagation,
         "tadpole_count": _q_tadpole,
         "fish_count": _q_fish,
         "lollipop_count": _q_lollipop,
@@ -602,6 +602,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": _q_lsh_topk,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
     }
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """Unrolled synchronous label propagation (min tie-break) — the
+    SQL oracle for the fixed-iteration LPA query. Early Spark-side
+    convergence is safe: once no label changes, the map is a fixed
+    point, so extra unrolled iterations are identity."""
+    ctes = [
+        "v AS (SELECT DISTINCT src AS id FROM sym)",
+        "l0 AS (SELECT id, id AS label FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS id, l.label AS l, count(*) AS cnt\n"
+            f"       FROM sym e JOIN l{i-1} l ON e.src = l.id GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT id, l, row_number() OVER "
+            f"(PARTITION BY id ORDER BY cnt DESC, l ASC) AS rn FROM c{i})"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT p.id, coalesce(b.l, p.label) AS label\n"
+            f"       FROM l{i-1} p LEFT JOIN (SELECT id, l FROM r{i} WHERE rn = 1) b USING (id))"
+        )
+    return ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -750,6 +775,7 @@ comp(id, comp) AS (
 assign AS (SELECT id, min(comp) AS component FROM comp GROUP BY id)
 SELECT component, count(*) AS size FROM assign GROUP BY component
 """,
+        "label_propagation": f"WITH {EPARTS},\n{_lpa_sql(4)}",
         "pagerank": f"""
 WITH RECURSIVE {EPARTS},
 verts AS (SELECT DISTINCT src AS id FROM sym),

@@ -1,0 +1,196 @@
+"""Broadcast-gather PageRank — the second physical strategy.
+
+Same semantics as :func:`~simdgraphprocessing_spark.algorithms.pagerank`
+(damping 0.85, uniform dangling redistribution, r_0 = 1/N; pinned by
+the same numpy power-iteration oracle), different physical plan:
+
+* the edge table is range-partitioned by ``dst`` ONCE and persisted
+  (each partition owns a contiguous dst-id slice, so its accumulator
+  is a small L2-resident array);
+* each superstep broadcasts the V-sized ``rank/outdeg`` vector
+  (8 bytes/vertex — 80 MB at 10^7 vertices) and runs a numpy
+  ``bincount`` gather inside ``mapInArrow``: contribution sums for a
+  partition's dst slice computed with ZERO per-superstep shuffle;
+* the V-row partial result is collected to the driver (Arrow), where
+  the damping/dangling update is a numpy one-liner.
+
+This is exactly the reference's execution shape — CSR rows stay put,
+a dense rank vector is gathered through them
+(``apps/n_path.cpp:58-83`` generalized) — realized with Spark's
+broadcast + mapInArrow instead of shared memory.
+
+WHEN TO USE WHICH: this path requires dense vertex ids (degree-rank
+relabeled, ``graph.degree_rank_ids``) and a vertex vector that fits
+the driver/broadcast (V ≤ ~5·10^7; at 38M-edge bench scale the vector
+is 16 MB). Beyond that — the 10^10-vertex north star — use the
+shuffle-join implementation, whose per-superstep state never
+concentrates anywhere. The cutover is the same decision Spark itself
+makes between broadcast-hash and shuffle joins.
+
+MEASURED (38M-edge bench graph, 12g heap): shuffle-join path 13.9M
+edges/s/iter at local[32] vs 5.2M here — every superstep must stream
+all E rows JVM→Arrow→Python and serially collect the V-row result,
+which caps this path on one box. It remains the right shape when the
+per-edge work is heavy enough to amortize the transfer (attributed
+gathers, multi-vector state) and is the library's reference
+implementation of the broadcast-strategy superstep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simdgraphprocessing_spark.iteration import IterationResult
+
+MAX_DENSE_VERTICES = 50_000_000
+
+
+def pagerank_gather(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-10,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    num_partitions: int | None = None,
+) -> IterationResult:
+    """Returns IterationResult whose state is ``(id, rank)``.
+
+    ``edges``: directed (src, dst) with DENSE ids in [0, V). Raises if
+    the id space is too large for the broadcast vector.
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    p = num_partitions or sc.defaultParallelism
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    # one-time layout: contiguous dst slices; persisted for all supersteps
+    parted = e.repartitionByRange(p, "dst").persist()
+    stats = parted.agg(
+        F.max("src").alias("ms"), F.max("dst").alias("md"), F.count("*").alias("cnt")
+    ).collect()[0]
+    if stats["cnt"] == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        return IterationResult(empty, 0, [])
+    n = int(max(stats["ms"], stats["md"])) + 1
+    if n > MAX_DENSE_VERTICES:
+        raise ValueError(
+            f"pagerank_gather needs a dense vertex vector; V={n} exceeds "
+            f"{MAX_DENSE_VERTICES} — use pagerank() (shuffle-join path)"
+        )
+
+    # outdeg vector on the driver (V rows once, via Arrow)
+    deg_pdf = (
+        parted.groupBy("src").agg(F.count("*").alias("c")).toPandas()
+    )
+    outdeg = np.zeros(n, dtype=np.float64)
+    outdeg[deg_pdf["src"].to_numpy()] = deg_pdf["c"].to_numpy(dtype=np.float64)
+    # vertices = src ∪ dst; ids with no row at all (holes in a
+    # non-dense range) get rank too — harmless, they behave as
+    # isolated dangling vertices
+    dangling_mask = outdeg == 0.0
+
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    start_k = 0
+    resumed_from = None
+    metrics: list[dict] = []
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        last = _last_complete(checkpoint_dir)
+        if last is not None:
+            rank = np.load(os.path.join(checkpoint_dir, f"superstep={last}", "rank.npy"))
+            with open(os.path.join(checkpoint_dir, f"superstep={last}", "_metrics.json")) as fh:
+                metrics = json.load(fh)["history"]
+            start_k = last
+            resumed_from = last
+
+    out_schema = "id long, msum double"
+
+    k = start_k
+    while k < max_iterations:
+        t0 = time.time()
+        w = np.where(dangling_mask, 0.0, rank / np.where(dangling_mask, 1.0, outdeg))
+        bw = sc.broadcast(w)
+
+        def gather(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            wv = bw.value
+            srcs, dsts = [], []
+            for batch in batches:
+                srcs.append(batch.column("src").to_numpy())
+                dsts.append(batch.column("dst").to_numpy())
+            if not srcs:
+                return
+            s = np.concatenate(srcs)
+            d = np.concatenate(dsts)
+            lo = int(d.min())
+            acc = np.bincount(d - lo, weights=wv[s], minlength=int(d.max()) - lo + 1)
+            nz = np.nonzero(acc)[0]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz + lo, pa.int64()), pa.array(acc[nz], pa.float64())],
+                names=["id", "msum"],
+            )
+
+        part = parted.mapInArrow(gather, out_schema).toPandas()
+        bw.destroy()
+
+        msum = np.zeros(n, dtype=np.float64)
+        # range partitioning makes each dst unique across partitions,
+        # but stay robust to boundary duplicates: add, not assign
+        np.add.at(msum, part["id"].to_numpy(), part["msum"].to_numpy(dtype=np.float64))
+        dangling = float(rank[dangling_mask].sum())
+        new_rank = (1.0 - damping) / n + damping * (msum + dangling / n)
+        delta = float(np.abs(new_rank - rank).sum())
+        rank = new_rank
+        k += 1
+
+        wall = time.time() - t0
+        m = {
+            "superstep": k,
+            "rows": n,
+            "wall_sec": round(wall, 4),
+            "l1_delta": delta,
+            "dangling_mass": dangling,
+        }
+        metrics.append(m)
+        if checkpoint_dir and (k % checkpoint_every == 0 or k == max_iterations):
+            d = os.path.join(checkpoint_dir, f"superstep={k}")
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, "rank.npy"), rank)
+            with open(os.path.join(d, "_metrics.json"), "w") as fh:
+                json.dump({"superstep": k, "history": metrics}, fh)
+            # _SUCCESS marker written LAST — torn checkpoints are ignored
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+        if tol > 0 and delta < tol:
+            break
+
+    parted.unpersist()
+    import pandas as pd
+
+    state = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype=np.int64), "rank": rank})
+    )
+    return IterationResult(state, k, metrics, resumed_from)
+
+
+def _last_complete(checkpoint_dir: str) -> int | None:
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        if not name.startswith("superstep="):
+            continue
+        d = os.path.join(checkpoint_dir, name)
+        if os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+            os.path.join(d, "rank.npy")
+        ):
+            kk = int(name.split("=", 1)[1])
+            best = kk if best is None else max(best, kk)
+    return best

@@ -122,6 +122,18 @@ def run_supersteps(
             # re-read: truncates lineage AND pins state to durable storage
             new_state = spark.read.parquet(path).persist()
             n_rows = new_state.count()
+            # per-partition lineage: one manifest entry per state
+            # partition file (name + bytes) so a resumed run — or an
+            # auditor — can tie every partition of superstep K to the
+            # exact files superstep K+1 read
+            part_files = sorted(
+                f for f in os.listdir(path)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+            partition_lineage = [
+                {"file": f, "bytes": os.path.getsize(os.path.join(path, f))}
+                for f in part_files
+            ]
         else:
             # truncate lineage in-memory between durable checkpoints;
             # eager localCheckpoint is the single materializing action
@@ -129,6 +141,7 @@ def run_supersteps(
             new_state = new_state.localCheckpoint(eager=True)
             state.unpersist()
             n_rows = None
+            partition_lineage = None
 
         wall = time.time() - t0
         m = dict(m)
@@ -139,6 +152,9 @@ def run_supersteps(
                 "wall_sec": round(wall, 4),
             }
         )
+        if partition_lineage is not None:
+            m["num_partitions"] = len(partition_lineage)
+            m["partition_lineage"] = partition_lineage
         metrics_log.append(m)
         if durable:
             with open(_metrics_path(checkpoint_dir, k), "w") as fh:

@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 12g, NOT the whole box: G1 on an oversized heap accumulates
+        # garbage into multi-second full collections — measured on the
+        # 38M-edge PageRank bench, 48g gave 2–27s superstep walls vs
+        # 2.4–5s at 12g. Override with SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

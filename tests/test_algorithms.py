@@ -145,3 +145,46 @@ def test_checkpoint_resume(spark, tmp_path):
     a = {r["id"]: r["rank"] for r in res2.state.collect()}
     b = {r["id"]: r["rank"] for r in clean.state.collect()}
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_pagerank_gather_matches_shuffle_and_oracle(spark):
+    from simdgraphprocessing_spark.algorithms import pagerank_gather
+
+    pairs = zipf_random_pairs(n=150)
+    n = max(max(p) for p in pairs) + 1
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in pairs:
+        A[a, b] = 1
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_gather(e, max_iterations=25, tol=1e-12).state.collect()
+    }
+    expect = pagerank_oracle(A, iters=25, tol=1e-12)
+    shuffle = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, max_iterations=25, tol=1e-12).state.collect()
+    }
+    # gather path covers the full dense range [0, n); compare where both
+    # define a vertex, and against the dense numpy oracle everywhere
+    for i in shuffle:
+        assert abs(got[i] - shuffle[i]) < 1e-9
+    got_v = np.array([got[i] for i in range(n)])
+    assert np.allclose(got_v, expect, atol=1e-6)
+
+
+def test_pagerank_gather_checkpoint_resume(spark, tmp_path):
+    from simdgraphprocessing_spark.algorithms import pagerank_gather
+
+    pairs = zipf_random_pairs(n=80)
+    e = edge_df(spark, pairs)
+    ck = str(tmp_path / "prg_ck")
+    pagerank_gather(e, max_iterations=3, tol=0.0, checkpoint_dir=ck)
+    resumed = pagerank_gather(e, max_iterations=6, tol=0.0, checkpoint_dir=ck)
+    assert resumed.resumed_from == 3
+    fresh = pagerank_gather(e, max_iterations=6, tol=0.0)
+    a = {r["id"]: r["rank"] for r in resumed.state.collect()}
+    b = {r["id"]: r["rank"] for r in fresh.state.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
+    # per-superstep metrics survive the resume
+    assert [m["superstep"] for m in resumed.metrics] == [1, 2, 3, 4, 5, 6]

@@ -77,3 +77,22 @@ def test_repo_level_edges(spark, repos_df):
     re_ = corpus.repo_level_edges(repos_df)
     assert re_.count() > 0
     assert re_.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+def test_write_ligra_text(spark, tmp_path):
+    from simdgraphprocessing_spark.sources.edgelist import write_ligra_text
+
+    # 0→{1,2}, 1→{2}, 2→{}, 3→{0}  (vertex 2 has out-degree 0)
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 0)], "src long, dst long"
+    )
+    path = str(tmp_path / "g.ligra")
+    write_ligra_text(e, path)
+    lines = open(path).read().split()
+    assert lines[0] == "AdjacencyGraph"
+    n, m = int(lines[1]), int(lines[2])
+    assert (n, m) == (4, 4)
+    offsets = [int(x) for x in lines[3 : 3 + n]]
+    nbrs = [int(x) for x in lines[3 + n : 3 + n + m]]
+    assert offsets == [0, 2, 3, 3]  # exclusive prefix sum of degrees 2,1,0,1
+    assert nbrs == [1, 2, 2, 0]
