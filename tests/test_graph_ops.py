@@ -148,3 +148,30 @@ def test_normalize_edges_dedup_loops(spark):
     rows = {(r["src"], r["dst"]) for r in e.collect()}
     assert rows == {(1, 2), (2, 1), (2, 3), (3, 2)}
     assert orient_by_degree(e).count() == 2
+
+
+def test_salt_hubs_two_phase_aggregation(spark):
+    from simdgraphprocessing_spark.graph import degrees, salt_hubs
+
+    # star hub 0 with 40 spokes + a small clique; hub_degree=10 marks
+    # only vertex 0 as a hub
+    pairs = [(0, i) for i in range(1, 41)] + [(100, 101), (101, 102), (100, 102)]
+    e = edge_df(spark, pairs)
+    salted = salt_hubs(e, hub_degree=10, salts=4)
+    # hub edges spread across >1 salt; non-hubs all salt 0
+    hub_salts = salted.filter(F.col("src") == 0).select("salt").distinct().count()
+    assert hub_salts > 1
+    assert (
+        salted.filter(F.col("src") != 0).select("salt").distinct().collect()[0]["salt"]
+        == 0
+    )
+    # two-phase aggregate (per (vertex, salt) partial, then per vertex)
+    # equals the direct degree count — the skew-split is semantics-free
+    partial = salted.groupBy("src", "salt").agg(F.count("*").alias("c"))
+    two_phase = partial.groupBy(F.col("src").alias("id")).agg(
+        F.sum("c").alias("degree")
+    )
+    direct = degrees(e)
+    assert (
+        two_phase.join(direct, ["id", "degree"]).count() == direct.count()
+    )
