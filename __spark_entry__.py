@@ -94,11 +94,15 @@ def _q_degrees(spark, sf_dir):
 
 
 def _q_degree_stats(spark, sf_dir):
+    # avg as exact integer micros (sum·10⁶ div count) — double rounding
+    # differs across engines, integer division does not.
     deg = _q_degrees(spark, sf_dir)
     return deg.agg(
         F.count("*").alias("num_vertices"),
         F.sum("degree").alias("num_directed_edges"),
-        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.expr("CAST((sum(degree) * 1000000) DIV count(*) AS BIGINT)").alias(
+            "avg_degree_micros"
+        ),
         F.max("degree").alias("max_degree"),
         F.min("degree").alias("min_degree"),
     )
@@ -647,7 +651,7 @@ SELECT src AS id, count(*) AS degree FROM sym GROUP BY src
 WITH {EPARTS},
 deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
 SELECT count(*) AS num_vertices, sum(degree) AS num_directed_edges,
-       round(avg(degree), 6) AS avg_degree,
+       CAST((sum(degree) * 1000000) // count(*) AS BIGINT) AS avg_degree_micros,
        max(degree) AS max_degree, min(degree) AS min_degree
 FROM deg
 """,

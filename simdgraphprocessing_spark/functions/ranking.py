@@ -30,6 +30,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Cached range-partitioned inputs, one per global_row_number call. The
+# persist is semantically REQUIRED (it pins the sampled range
+# boundaries so the per-partition counts collected in pass 1 describe
+# the exact partitioning pass 2 ranks within); it therefore cannot be
+# dropped before the caller materializes the result. Callers that are
+# done with a ranking (benchmarks, long sessions) call
+# :func:`release_rank_caches` to free the accumulated blocks.
+_RANK_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches() -> int:
+    """Unpersist every cached ranking input; returns how many."""
+    n = len(_RANK_CACHES)
+    for cached in _RANK_CACHES:
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    _RANK_CACHES.clear()
+    return n
+
+
 def global_row_number(
     df: DataFrame,
     order: list[Column],
@@ -42,6 +64,10 @@ def global_row_number(
     unique tie-break column). Equivalent to
     ``row_number().over(Window.orderBy(*order)) - 1 + start`` but
     scalable: no single-partition exchange.
+
+    Each call persists its range-partitioned input for the session (a
+    V-sized cache, required for boundary stability — see module note);
+    call :func:`release_rank_caches` when rankings are no longer live.
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -53,6 +79,7 @@ def global_row_number(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    _RANK_CACHES.append(parted)
     # one light job over the (already small relative to E) input to
     # learn per-range-partition counts; cumsum on the driver is over
     # at most `p` rows

@@ -88,7 +88,14 @@ def reorder_by_shingles(edges: DataFrame) -> DataFrame:
     shingles = edges.groupBy(F.col("src").alias("id")).agg(
         *[
             F.min_by(
-                "dst", (F.lit(a) * F.col("dst") + F.lit(b)) % F.lit(_SHINGLE_P)
+                "dst",
+                # struct(hash, dst): equal hash ranks (ids congruent mod
+                # P — guaranteed on >1M-vertex graphs) resolve to the
+                # smallest neighbor id, keeping the order reproducible
+                F.struct(
+                    ((F.lit(a) * F.col("dst") + F.lit(b)) % F.lit(_SHINGLE_P)).alias("h"),
+                    F.col("dst").alias("t"),
+                ),
             ).alias(f"sh{i}")
             for i, (a, b) in enumerate(_SHINGLE_AB)
         ],
@@ -108,6 +115,12 @@ def reorder_bfs(edges: DataFrame) -> DataFrame:
     minimum-id vertex (exactly what min-label propagation computes)
     and run ONE multi-source BFS, ordering by
     (component, level-from-seed, id).
+
+    PRECONDITION: ``edges`` must be symmetrized (both directions
+    present), as ``connected_components`` requires — on a one-direction
+    table, vertices with only in-edges would silently drop from the
+    mapping and ``reassign_ids`` would then drop their edges. Verified
+    by an assert on the mapping row count below.
     """
     from simdgraphprocessing_spark.algorithms import connected_components
     from simdgraphprocessing_spark.operators.paths import bfs_levels
@@ -116,11 +129,24 @@ def reorder_bfs(edges: DataFrame) -> DataFrame:
     seeds = cc.select(F.col("component").alias("id")).distinct()
     lv = bfs_levels(edges, start_df=seeds)
     joined = cc.join(lv, "id").join(degrees(edges), "id")
-    return global_row_number(
+    mapping = global_row_number(
         joined,
         [F.col("component").asc(), F.col("level").asc(), F.col("id").asc()],
         out_col="new_id",
     ).select("id", "new_id", "degree")
+    n_vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    n_mapped = mapping.count()
+    if n_mapped != n_vertices:
+        raise ValueError(
+            f"reorder_bfs: mapping covers {n_mapped} of {n_vertices} vertices — "
+            "input edge table must be symmetrized (both directions present)"
+        )
+    return mapping
 
 
 def reorder_by_the_game(edges: DataFrame) -> DataFrame:

@@ -54,8 +54,13 @@ SIMHASH_AB = [
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, dupes) — one representative (min id) per distinct
-    text, with its duplicate-group size."""
-    return docs.groupBy(text_col).agg(
+    text, with its duplicate-group size.
+
+    The shuffle key is ``sha2(text, 256)`` (32 bytes), never the text
+    itself — at 100 TB a group-by-body would ship the whole corpus
+    through the exchange; the hash key makes the shuffle corpus-size-
+    independent (collisions are cryptographically negligible)."""
+    return docs.groupBy(F.sha2(F.col(text_col), 256).alias("_h")).agg(
         F.min(id_col).alias(id_col), F.count("*").alias("dupes")
     ).select(id_col, "dupes")
 
@@ -73,7 +78,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_token_df: int | None = None,
+    max_token_df: int | None = 1000,
 ) -> DataFrame:
     """(a, b, jac) — doc pairs with n-gram-set Jaccard ≥ threshold.
 
@@ -81,6 +86,13 @@ def ngram_jaccard_pairs(
     posting key is the only shuffle; ``max_token_df`` drops postings
     of tokens appearing in more than that many docs (stopword-style
     skew guard — a hub token would otherwise create df² join rows).
+    The guard is ON by default (1000): an unguarded postings self-join
+    is quadratic in the hottest token's df and must never be the scale
+    path — pass ``max_token_df=None`` only for small-corpus oracles.
+    Dropping ultra-common tokens can only *miss* pairs whose overlap
+    is carried by stopwords; for near-dup thresholds ≥0.5 this is the
+    standard trade (same guard as the reference's orientation filter
+    bounding neighbor lists).
     """
     if n == 1:
         keyed = _doc_tokens(docs, text_col, id_col).withColumnRenamed("token", "key")

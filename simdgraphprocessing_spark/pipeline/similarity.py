@@ -178,8 +178,15 @@ def embedding_cosine_dups(
     The cosine test is pure int64 arithmetic on quantized vectors —
     ``dot > 0 ∧ thr_den²·dot² ≥ thr_num²·na·nb`` — so the DuckDB
     oracle reproduces it bit-for-bit with no float rounding hazard.
-    ``quant=1000`` keeps thr_den²·dot² within int64 for 64-dim unit-ish
-    embeddings (|x|≤3, dims≤64, thr_den≤16 stay safe).
+
+    int64 envelope: the largest term is ``thr_den²·dot²`` (and
+    ``thr_num²·na·nb``), so safety requires
+    ``thr_den·quant²·Σ|x_i y_i| < √(2^63) ≈ 3.04e9``. At quant=1000,
+    dims≤64 that means near-unit coordinates (|x|≤1, giving
+    thr_den·dot ≤ 16·6.4e7 ≈ 1.0e9 — safe); |x| up to 3 is NOT safe
+    (dot ≤ 5.8e8 ⇒ thr_den·dot ≈ 9.2e9 overflows after squaring —
+    Spark with ANSI off would wrap silently while DuckDB errors).
+    A runtime assert on the max squared norm enforces the bound.
 
     Closes the dedup family of the training-pipeline brief: exact /
     MinHash+LSH / SimHash / n-gram Jaccard / **embedding-cosine**.
@@ -199,6 +206,19 @@ def embedding_cosine_dups(
             ).alias("norm2"),
         )
     ).persist()  # both self-join sides read it (bucket+quantize subtree)
+    # Overflow guard (see docstring): dot ≤ max(norm2) by Cauchy-Schwarz
+    # on same-norm-scale vectors, so requiring
+    # (thr_den·max_norm2)² < 2^63 and thr_num²·max_norm2² < 2^63 keeps
+    # every comparison term exact. One scalar agg over the persisted
+    # base — negligible next to the self-join it protects.
+    max_n2 = base.agg(F.max("norm2").alias("m")).collect()[0]["m"] or 0
+    bound = max(thr_den, thr_num) * max_n2
+    if bound * bound >= 2**63:
+        raise ValueError(
+            f"embedding_cosine_dups int64 overflow: max norm2={max_n2} with "
+            f"thr {thr_num}/{thr_den} exceeds the exact-arithmetic envelope; "
+            "lower quant or normalize embeddings"
+        )
     l = base.select(
         F.col(id_col).alias("a"), F.col("qvec").alias("qa"),
         F.col("norm2").alias("na"), "bucket",

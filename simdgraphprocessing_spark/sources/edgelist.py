@@ -63,8 +63,12 @@ def write_ligra_text(edges: DataFrame, path: str) -> None:
 
     spark = edges.sparkSession
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    # empty table → max is NULL; coalesce to -1 so n=0 falls out and we
+    # still emit a valid "AdjacencyGraph\n0\n0\n" header
     n = int(
-        e.agg(F.greatest(F.max("src"), F.max("dst")).alias("m")).collect()[0]["m"]
+        e.agg(
+            F.coalesce(F.greatest(F.max("src"), F.max("dst")), F.lit(-1)).alias("m")
+        ).collect()[0]["m"]
     ) + 1
     m = e.count()
 
