@@ -256,6 +256,50 @@ def _q_triangles_year_filtered(spark, sf_dir):
     return triangle_count(normalize_edges(e))
 
 
+def _q_n_path_length(spark, sf_dir):
+    """The n_path app's scalar output (apps/n_path.cpp:86-90): BFS path
+    length from the max-out-degree vertex, capped at query depth 4."""
+    from simdgraphprocessing_spark.operators import bfs_levels
+    from simdgraphprocessing_spark.sources import follow_edges
+
+    lv = bfs_levels(follow_edges(spark, sf_dir), max_depth=4)
+    return lv.agg(F.max("level").cast("long").alias("path_length"))
+
+
+def _q_symbiosity_undirected(spark, sf_dir):
+    """symbiosity in undirected mode (symbiosity_test.cpp:16-22):
+    row == column per vertex, so the count is every non-isolated
+    vertex — the app's exact undirected output."""
+    from simdgraphprocessing_spark.operators import symbiosity
+
+    sym = _sym_parts(spark, sf_dir)
+    return symbiosity(sym, sym, threshold=0.5)
+
+
+def _q_triangles_node_filtered(spark, sf_dir):
+    """node_selection on a vertex ATTRIBUTE (the reference loads a
+    per-node attribute file, MutableGraph.hpp:403-404, and filters
+    while packing, SparseMatrix.hpp:240): keep parts with p_size <= 25,
+    induce the subgraph, count triangles."""
+    from simdgraphprocessing_spark.graph import induced_subgraph
+    from simdgraphprocessing_spark.operators import triangle_count
+
+    keep = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_size") <= 25)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    return triangle_count(induced_subgraph(_sym_parts(spark, sf_dir), keep))
+
+
+def _q_degree_stats_full(spark, sf_dir):
+    from simdgraphprocessing_spark.operators import degree_stats_full
+
+    full = degree_stats_full(_sym_parts(spark, sf_dir))
+    # integer columns only — the skewness doubles are for humans
+    return full.drop("skew1_pearson", "skew2_pearson")
+
+
 # ------------------------------------------------- pipeline queries
 
 def _docs(spark, sf_dir):
@@ -353,6 +397,21 @@ def _q_embedding_cosine_dups(spark, sf_dir):
     return embedding_cosine_dups(_embs(spark, sf_dir), thr_num=2, thr_den=5)
 
 
+def _q_media_frame_sample(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import frame_sample, media_from_documents
+
+    return frame_sample(media_from_documents(_docs(spark, sf_dir)), every_ms=500)
+
+
+def _q_media_feature_sums(spark, sf_dir):
+    from simdgraphprocessing_spark.pipeline import (
+        extract_feature_sums,
+        media_from_documents,
+    )
+
+    return extract_feature_sums(media_from_documents(_docs(spark, sf_dir)))
+
+
 # -- SQL generation helpers (same constants as the Spark pipeline) --
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
@@ -438,6 +497,37 @@ def _lsh_bucket_sql(n_planes: int = 8) -> str:
         f"dots AS (SELECT vec_id, qvec, {dots} FROM qv),\n"
         f"bkt AS (SELECT vec_id, qvec, {code} AS bucket FROM dots)"
     )
+
+
+def _media_feature_sums_sql(d: int = 8) -> str:
+    """np.array_split chunk SUMS of the text bytes: first L%d chunks
+    get one extra element (exactly numpy's rule)."""
+    feats = ",\n       ".join(
+        f"CAST(sum(CASE WHEN ck = {k} THEN b ELSE 0 END) AS BIGINT) AS f{k}"
+        for k in range(d)
+    )
+    return f"""
+WITH lens AS (SELECT doc_id, text, length(text) AS L FROM documents),
+chars AS (
+  SELECT doc_id, L,
+         generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+         unnest(list_transform(string_split(text, ''), c -> ord(c))) AS b
+  FROM lens
+),
+chunked AS (
+  SELECT doc_id,
+         CASE WHEN i < (L % {d}) * (L // {d} + 1)
+              THEN i // (L // {d} + 1)
+              ELSE (L % {d}) + (i - (L % {d}) * (L // {d} + 1)) // (L // {d})
+         END AS ck,
+         b
+  FROM chars
+)
+SELECT c.doc_id AS media_id, sha256(dd.text) AS content_sha,
+       {feats}
+FROM chunked c JOIN documents dd USING (doc_id)
+GROUP BY c.doc_id, dd.text
+"""
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -563,6 +653,16 @@ pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
 SELECT a, b, dot, na, nb FROM pairs
 WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
 """,
+        # multimodal plumbing over fake media derived from documents:
+        # blob = utf-8 text bytes (ASCII corpus → byte == ord(char)),
+        # content_sha = sha256(blob) — the per-row identity invariant
+        "media_frame_sample": """
+SELECT doc_id AS media_id,
+       unnest(range(0, (doc_id % 7 + 1) * 750, 500)) AS frame_ts_ms,
+       sha256(text) AS content_sha
+FROM documents WHERE doc_id % 3 = 2
+""",
+        "media_feature_sums": _media_feature_sums_sql(),
     }
 
 
@@ -590,6 +690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lollipop_count": _q_lollipop,
         "bfs_directed_levels": _q_bfs_directed,
         "triangles_year_filtered": _q_triangles_year_filtered,
+        "n_path_length": _q_n_path_length,
+        "symbiosity_undirected": _q_symbiosity_undirected,
+        "triangles_node_filtered": _q_triangles_node_filtered,
+        "graph_degree_stats_full": _q_degree_stats_full,
         # training-data pipeline ops (documents / embeddings tables)
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
@@ -605,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_buckets": _q_lsh_buckets,
         "embedding_lsh_topk": _q_lsh_topk,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_feature_sums": _q_media_feature_sums,
     }
 
 
@@ -857,6 +963,70 @@ lv(id, level) AS (
 SELECT level, count(*) AS cnt
 FROM (SELECT id, min(level) AS level FROM lv GROUP BY id)
 GROUP BY level
+""",
+        "n_path_length": f"""
+WITH RECURSIVE {EFOLLOW},
+deg AS (SELECT src AS id, count(*) AS degree FROM efollow GROUP BY src),
+start AS (SELECT id FROM deg ORDER BY degree DESC, id ASC LIMIT 1),
+lv(id, level) AS (
+  SELECT id, 0 FROM start
+  UNION
+  SELECT s.dst, lv.level + 1 FROM lv JOIN efollow s ON s.src = lv.id
+  WHERE lv.level < 4
+)
+SELECT CAST(max(level) AS BIGINT) AS path_length
+FROM (SELECT id, min(level) AS level FROM lv GROUP BY id)
+""",
+        "symbiosity_undirected": f"""
+WITH {EPARTS},
+d AS (SELECT src AS id, count(*) AS dg FROM sym GROUP BY src)
+SELECT count(*) AS symbiotic FROM d WHERE CAST(dg AS DOUBLE) / dg > 0.5
+""",
+        "triangles_node_filtered": f"""
+WITH {EPARTS},
+keep AS (SELECT p_partkey AS id FROM part WHERE p_size <= 25),
+fe AS (SELECT src, dst FROM eparts
+       JOIN keep a ON eparts.src = a.id
+       JOIN keep b ON eparts.dst = b.id)
+SELECT count(*) AS triangles
+FROM fe e1 JOIN fe e2 ON e1.dst = e2.src
+JOIN fe e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+        "graph_degree_stats_full": f"""
+WITH {EPARTS},
+pv AS (SELECT src AS id, count(*) AS card, max(dst) - min(dst) AS rng
+       FROM sym GROUP BY src),
+pv2 AS (SELECT *, CASE WHEN card > 1
+                       THEN least(1000000, (card * 1000000) // (rng + 1)) END AS dm
+        FROM pv),
+t AS (SELECT count(*) AS n, sum(card) AS m, sum(card * card) AS c2,
+             max(card) AS max_card, min(card) AS min_card,
+             sum(rng) AS sum_rng, max(rng) AS max_range,
+             sum(dm) AS sum_dm, count(dm) AS n_dense
+      FROM pv2),
+hist AS (SELECT card, count(*) AS cnt FROM pv2 GROUP BY card),
+mode_ AS (SELECT card AS mode_degree FROM hist ORDER BY cnt DESC, card ASC LIMIT 1),
+cum AS (SELECT card, sum(cnt) OVER (ORDER BY card) AS c FROM hist),
+median_ AS (SELECT min(card) AS median_degree FROM cum, t WHERE c >= t.n // 2 + 1),
+dhist AS (SELECT dm, count(*) AS cnt FROM pv2 WHERE dm IS NOT NULL GROUP BY dm),
+dcum AS (SELECT dm, sum(cnt) OVER (ORDER BY dm) AS c FROM dhist),
+dmedian_ AS (SELECT coalesce(min(dm), 0) AS mdm FROM dcum, t
+             WHERE c >= t.n_dense // 2 + 1)
+SELECT CAST(t.n AS BIGINT) AS num_vertices,
+       CAST(t.m AS BIGINT) AS num_directed_edges,
+       CAST((t.m * 1000000) // t.n AS BIGINT) AS avg_degree_micros,
+       CAST(t.max_card AS BIGINT) AS max_degree,
+       CAST(t.min_card AS BIGINT) AS min_degree,
+       CAST(median_.median_degree AS BIGINT) AS median_degree,
+       CAST(mode_.mode_degree AS BIGINT) AS mode_degree,
+       CAST((t.c2 * 1000000) // t.n
+            - ((t.m * 1000) // t.n) * ((t.m * 1000) // t.n) AS BIGINT)
+         AS var_degree_micros,
+       CAST((t.sum_rng * 1000000) // t.n AS BIGINT) AS avg_range_micros,
+       CAST(t.max_range AS BIGINT) AS max_range,
+       CAST(coalesce(t.sum_dm, 0) // t.n AS BIGINT) AS avg_density_micros,
+       CAST(dmedian_.mdm AS BIGINT) AS median_density_micros
+FROM t, mode_, median_, dmedian_
 """,
         "triangles_year_filtered": """
 WITH li AS (

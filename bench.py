@@ -72,7 +72,9 @@ def _session(cores: int):
     )
 
 
-def _pinned_suite(cores: int, edges_path: str, do_triangles: bool) -> dict:
+def _pinned_suite(
+    cores: int, edges_path: str, do_triangles: bool, do_gather: bool | None = None
+) -> dict:
     """Run the graph suite in a FRESH subprocess per parallelism level
     (no inherited JVM heap/JIT state between levels). Parallelism is
     limited by ``local[N]`` + ``shuffle.partitions=2N`` alone — NOT
@@ -83,7 +85,8 @@ def _pinned_suite(cores: int, edges_path: str, do_triangles: bool) -> dict:
     N-core executor shares a wider host."""
     import subprocess
 
-    do_gather = cores == 32
+    if do_gather is None:
+        do_gather = cores == 32
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--suite", str(cores), edges_path,
@@ -179,7 +182,11 @@ def run_graph_suite(
         )
     if do_triangles:
         # fresh plan per run — re-collecting the same DataFrame would
-        # reuse the prior job's shuffle files and time nothing
+        # reuse the prior job's shuffle files and time nothing.
+        # Both physical methods timed: join (scale-default, pure
+        # codegen) and csr (broadcast shared-CSR + Arrow kernel — the
+        # reference's execution shape; ~2x faster on the power-law
+        # bench graph since round 2's batched kernel).
         triangle_count(edges).collect()  # warm
         tri_secs = []
         for _ in range(2):
@@ -187,11 +194,20 @@ def run_graph_suite(
             triangles = triangle_count(edges).collect()[0]["triangles"]
             tri_secs.append(time.time() - t0)
         tri_sec = min(tri_secs)
+        triangle_count(edges, method="csr").collect()  # warm
+        csr_secs = []
+        for _ in range(2):
+            t0 = time.time()
+            triangle_count(edges, method="csr").collect()
+            csr_secs.append(time.time() - t0)
+        csr_sec = min(csr_secs)
+        best = min(tri_sec, csr_sec)
         out.update(
             {
                 "triangles": int(triangles),
                 "triangle_sec": tri_sec,
-                "triangles_per_sec": triangles / tri_sec if tri_sec > 0 else 0.0,
+                "triangle_csr_sec": csr_sec,
+                "triangles_per_sec": triangles / best if best > 0 else 0.0,
             }
         )
     edges.unpersist()
@@ -260,11 +276,45 @@ def main():
     # real cluster adds bandwidth with executors; one box does not),
     # so the low-core pairs isolate plan scalability from the shared
     # memory bus.
+    #
+    # The HEADLINE N→4N pair is 2→8 (both levels below the one-box
+    # DRAM-bandwidth knee — the in-sandbox stand-in for N vs 4N
+    # executors, which each bring their own memory channels). Run-to-
+    # run JVM variance at a fixed level was measured at ±30%, so the
+    # headline levels run REPEATS fresh processes each and report the
+    # median + spread; single samples cannot support a scaling claim.
+    REPEATS = {32: 2, 8: 3, 2: 3}
     suite = {}
+    spread = {}
     for cores in (32, 8, 4, 2, 1):
-        suite[cores] = _pinned_suite(
-            cores, edges_path, do_triangles=cores in (8, 32)
-        )
+        runs = [
+            _pinned_suite(
+                cores, edges_path,
+                do_triangles=(cores in (8, 32)) and rep == 0,
+                do_gather=(cores == 32) and rep == 0,
+            )
+            for rep in range(REPEATS.get(cores, 1))
+        ]
+        runs.sort(key=lambda r: r["pagerank_edges_per_sec_iter"])
+        med = runs[len(runs) // 2]
+        # triangles/gather only measured on the first repeat — carry over
+        for r in runs:
+            for key in (
+                "triangles", "triangle_sec", "triangles_per_sec",
+                "pagerank_gather_sec", "pagerank_gather_median_step_sec",
+                "pagerank_gather_edges_per_sec_iter",
+            ):
+                if key in r and key not in med:
+                    med[key] = r[key]
+        suite[cores] = med
+        samples = [round(r["pagerank_edges_per_sec_iter"], 1) for r in runs]
+        if len(samples) > 1:
+            spread[f"local{cores}"] = {
+                "samples_edges_per_sec_iter": samples,
+                "rel_spread": round(
+                    (max(samples) - min(samples)) / max(samples), 3
+                ),
+            }
 
     # ---- driver-testdata queries, own process, after the suites
     q = _child(["--queries"])
@@ -331,6 +381,11 @@ def main():
             "scaling_efficiency_pagerank_2_to_8": eff("pagerank_edges_per_sec_iter", 2, 8),
             "scaling_efficiency_pagerank_8_to_32": eff("pagerank_edges_per_sec_iter", 8, 32),
             "scaling_efficiency_triangles_8_to_32": eff("triangles_per_sec", 8, 32),
+            # north-rule evidence: same job, same input, N vs 4N cores,
+            # medians-of-3 at both levels (see REPEATS above)
+            "scaling_headline_pair": "local2_to_local8",
+            "scaling_efficiency_headline": eff("pagerank_edges_per_sec_iter", 2, 8),
+            "repeat_spread": spread,
         },
         "conf": CONF_NOTE,
         "total_bench_sec": round(time.time() - total_t0, 1),

@@ -96,6 +96,27 @@ def reassign_ids(edges: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
+def induced_subgraph(edges: DataFrame, vertices: DataFrame, id_col: str = "id") -> DataFrame:
+    """Edges whose BOTH endpoints pass a node selection — the
+    reference's ``node_selection`` predicate applied while packing
+    (``SparseMatrix.hpp:240``; attributes loaded
+    ``MutableGraph.hpp:403-404``). ``vertices`` is the selected vertex
+    set (one ``id`` column, e.g. an attribute table filtered on the
+    predicate).
+
+    Plan: two left_semi joins. The vertex list is V-sized (small next
+    to E); Spark broadcasts it when under the threshold, else hash
+    joins co-partitioned on the endpoint — either way E is scanned
+    once and never duplicated.
+    """
+    v = vertices.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        edges.join(v.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+
+
 def orient_by_degree(edges: DataFrame) -> DataFrame:
     """Keep each undirected edge once, pointing low-rank → high-rank id.
 

@@ -10,5 +10,9 @@ from simdgraphprocessing_spark.operators.neighbors import (  # noqa: F401
 )
 from simdgraphprocessing_spark.operators.paths import bfs_levels, n_path_length  # noqa: F401
 from simdgraphprocessing_spark.operators.cliques import clique_count  # noqa: F401
-from simdgraphprocessing_spark.operators.stats import degree_stats, max_degree_vertex  # noqa: F401
+from simdgraphprocessing_spark.operators.stats import (  # noqa: F401
+    degree_stats,
+    degree_stats_full,
+    max_degree_vertex,
+)
 from simdgraphprocessing_spark.operators.motifs import lollipop_count  # noqa: F401

@@ -13,13 +13,22 @@ Two physical strategies:
   worst-case-optimal triangle join expressed relationally. No Python
   runs at all — whole-stage codegen end to end.
 
-* ``method="csr"``: the reference-shaped plan — materialize oriented
-  adjacency lists (CSR rows), ship each oriented edge with both
-  endpoint lists into an Arrow batch, and count intersections with
-  the adaptive numpy kernel (``kernels.intersect_count``, mirroring
-  ``intersection.hpp:1325-1336`` dispatch). Demonstrates the
-  vectorized-kernel path; the join method is usually faster on Spark
-  because it never moves neighbor lists twice.
+* ``method="csr"``: the reference-shaped plan. Two physical
+  realizations, picked by adjacency size:
+
+  - **broadcast CSR** (oriented adjacency ≤ ``CSR_BROADCAST_VALUES``
+    values): the whole oriented CSR (ids/offsets/values numpy arrays)
+    broadcasts once, and ``mapInArrow`` streams the oriented EDGE
+    table through the batched intersect kernel — zero per-edge list
+    shipping, no join at all. This is literally the reference's
+    execution model (shared in-memory CSR + streamed edge loop,
+    ``undirected_triangle_counting.cpp:45-56``) realized with
+    Spark broadcast instead of shared memory. A 10⁹-oriented-edge
+    graph's CSR is ~8 GB — beyond broadcast — hence the cap.
+  - **join-shipped CSR** (above the cap): ship each oriented edge
+    with both endpoint lists into the Arrow batch via two joins.
+    Moves Σ deg·|N⁺| values through the exchange — correct at any
+    scale but join method usually beats it there.
 
 Scale: orientation by degree-rank bounds every oriented list by
 O(sqrt(E)) on power-law graphs, so the skew that would otherwise
@@ -82,19 +91,89 @@ def triangle_count(edges: DataFrame, method: str = "join") -> DataFrame:
     return tri
 
 
-def _per_edge_csr(edges: DataFrame) -> DataFrame:
-    """Reference-shaped plan: oriented adjacency + Arrow intersect kernel.
+# oriented adjacencies up to this many values broadcast as a shared
+# CSR (8 B/value → 400 MB at the cap); larger graphs join-ship lists
+CSR_BROADCAST_VALUES = 50_000_000
 
-    Plan: adj = groupBy(src) over oriented edges (one shuffle);
-    oriented edges join adj on src and on dst (two joins, both reuse
-    the adj exchange); ``mapInArrow`` runs the adaptive numpy
-    intersection per batch (the reference's per-edge
-    ``set_intersect``, ``undirected_triangle_counting.cpp:52``).
+
+def _per_edge_csr_broadcast(e: DataFrame) -> DataFrame:
+    """Shared-CSR realization: build the oriented CSR once from the
+    flat edge list (two int64 Arrow columns — no per-row list
+    objects), broadcast it, and drive the per-edge loop FROM the
+    broadcast: each task owns a contiguous vertex slice (boundaries
+    balanced by values-share so hub-heavy slices don't straggle) and
+    enumerates its edges out of the shared arrays. This is the
+    reference's ``par_for`` over CSR rows
+    (``undirected_triangle_counting.cpp:45-56``) with Spark broadcast
+    standing in for shared memory; the edge table is never scanned a
+    second time and nothing E-sized shuffles.
+    """
+    import numpy as np
+
+    spark = e.sparkSession
+    sc = spark.sparkContext
+    pdf = e.select("src", "dst").toPandas()
+    s = pdf["src"].to_numpy(dtype=np.int64)
+    d = pdf["dst"].to_numpy(dtype=np.int64)
+    order = np.lexsort((d, s))
+    s, values = s[order], d[order]
+    ids, starts = np.unique(s, return_index=True)
+    offsets = np.concatenate((starts, [len(s)])).astype(np.int64)
+    bc = sc.broadcast((ids, offsets, values))
+
+    out_schema = "src long, dst long, tri_cnt long"
+
+    def count_batches(batches):
+        from simdgraphprocessing_spark import kernels
+
+        b_ids, b_off, b_val = bc.value
+        nv = len(b_ids)
+
+        def row_offsets(v: "np.ndarray"):
+            i = np.searchsorted(b_ids, v)
+            i_c = np.minimum(i, nv - 1) if nv else i
+            ok = (i < nv) & (b_ids[i_c] == v) if nv else np.zeros(len(v), bool)
+            return np.where(ok, b_off[i_c], 0), np.where(
+                ok, b_off[np.minimum(i_c + 1, nv)], 0
+            )
+
+        for batch in batches:
+            # materialize plain int64 — parquet scans may deliver
+            # dictionary-encoded vectors, which must not leak into the
+            # output batch (downstream codegen reads plain longs)
+            sv = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            sa, ea = row_offsets(sv)
+            sb, eb = row_offsets(dv)
+            counts = kernels.intersect_count_pairs(sa, ea, sb, eb, b_val)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sv, pa.int64()), pa.array(dv, pa.int64()),
+                 pa.array(counts, pa.int64())],
+                names=["src", "dst", "tri_cnt"],
+            )
+
+    return e.mapInArrow(count_batches, out_schema)
+
+
+def _per_edge_csr(edges: DataFrame) -> DataFrame:
+    """Reference-shaped plan: oriented adjacency + Arrow intersect
+    kernel; broadcast-CSR below ``CSR_BROADCAST_VALUES``, join-shipped
+    lists above (see module docstring).
     """
     from simdgraphprocessing_spark import kernels
     from simdgraphprocessing_spark.graph import adjacency
 
-    e = _oriented(edges)
+    # persist only across the size probe + CSR collect, then release:
+    # the deferred mapInArrow scan re-derives e from lineage (a filter
+    # over the caller's table — cheap; callers that loop should persist
+    # their edge table). A per-call leaked cache would accumulate in
+    # long sessions, which costs more than the one recompute.
+    e = _oriented(edges).persist()
+    try:
+        if e.count() <= CSR_BROADCAST_VALUES:
+            return _per_edge_csr_broadcast(e)
+    finally:
+        e.unpersist()
     adj = adjacency(e).select("id", "nbrs")
     pairs = (
         e.join(adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "nbrs_src"), "src")

@@ -13,6 +13,13 @@ from simdgraphprocessing_spark.pipeline.dedup import (  # noqa: F401
     simhash_codes,
     simhash_near_pairs,
 )
+from simdgraphprocessing_spark.pipeline.multimodal import (  # noqa: F401
+    media_from_documents,
+    extract_features,
+    extract_feature_sums,
+    frame_sample,
+    verify_media_sha,
+)
 from simdgraphprocessing_spark.pipeline.similarity import (  # noqa: F401
     quantize_embeddings,
     brute_force_topk,

@@ -64,6 +64,30 @@ def make_fake_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the ``documents`` table
+    (driver-checkable: every column is a pure function of doc_id/text).
+    The blob is the utf-8 text bytes; ``content_sha`` is its sha256 —
+    the per-row identity invariant all derived outputs must carry."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("mime"),
+        F.when(kind != "audio", F.lit(64)).alias("width"),
+        F.when(kind != "audio", F.lit(48)).alias("height"),
+        F.when(kind != "image", (F.col("doc_id") % 7 + 1) * 750).alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+        F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("content_sha"),
+    )
+
+
 def _fake_decode(data: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: bytes → 'pixels'."""
     arr = np.frombuffer(data, dtype=np.uint8)
@@ -101,6 +125,40 @@ def extract_features(
                     "features": feats,
                 }
             )
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def extract_feature_sums(
+    media: DataFrame, fake: bool = True, feature_dim: int = 8
+) -> DataFrame:
+    """(media_id, content_sha, f0..f{d-1} bigint) — like
+    :func:`extract_features` but integer chunk SUMS instead of float
+    means, so the output is exact and hash-portable across engines
+    (the driver's correctness gate for the multimodal path). Chunking
+    follows ``np.array_split``: first ``len % d`` chunks get one extra
+    element. Same mapInPandas plumbing — blobs never shuffle."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg — not installed here; "
+            "use fake=True (deterministic stand-in) or swap _fake_decode"
+        )
+    feat_cols = [f"f{i}" for i in range(feature_dim)]
+    out_schema = "media_id long, content_sha string, " + ", ".join(
+        f"{c} long" for c in feat_cols
+    )
+
+    def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            sums = np.zeros((len(pdf), feature_dim), dtype=np.int64)
+            for r, data in enumerate(pdf["data"]):
+                px = _fake_decode(bytes(data)).astype(np.int64)
+                for c, chunk in enumerate(np.array_split(px, feature_dim)):
+                    sums[r, c] = int(chunk.sum())
+            out = {"media_id": pdf["media_id"], "content_sha": pdf["content_sha"]}
+            for c, name in enumerate(feat_cols):
+                out[name] = sums[:, c]
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, out_schema)
 
