@@ -7,6 +7,17 @@ for each vertex x, each triangle {x,y,z} incident to x contributes
 deg(x). Summed over all x: lollipops = Σ_triangles (deg(x)+deg(y)+deg(z)).
 Relational plan: per-vertex triangle participation t(v) (from the
 per-edge triangle join), then Σ t(v)·deg(v) — two shuffles total.
+
+Scale note: tadpole/fish are ENUMERATIONS — the count equals the
+instance count, and both the reference's nested SIMD loops and these
+joins pay the instance stream. Verified exact on dense input
+(tests/test_motifs_dense.py, K12 vs literal-loop goldens), but on
+graphs where the instance count itself explodes (the sf0.01 co-order
+graph reaches ~10^13 tadpoles) no enumerator finishes; the path there
+is a factorized rewrite (push the tail-path factor Σ_a (deg(a)−1)
+into the 4-vertex core as a closed form instead of joining it out —
+lollipop_count above is exactly such a factorization and stays
+output-size-free).
 """
 
 from __future__ import annotations

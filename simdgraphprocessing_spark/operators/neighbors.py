@@ -95,6 +95,18 @@ def symbiosity(
     return j.filter(F.col("jac") > threshold).agg(F.count("*").alias("symbiotic"))
 
 
+def neighbors_exist(adj: DataFrame, predicate) -> DataFrame:
+    """(id, found bool) — the reference's ``foreach_until`` early-exit
+    neighbor scan (``src/set/Set.hpp:104``): does ANY neighbor satisfy
+    the predicate? ``adj`` is an adjacency table (id, nbrs) from
+    :func:`~simdgraphprocessing_spark.graph.adjacency`; ``predicate``
+    is a Column lambda (e.g. ``lambda n: n > 100``). ``F.exists``
+    short-circuits inside whole-stage codegen — the declarative form
+    of the reference's early ``break``, with no driver involvement.
+    """
+    return adj.select("id", F.exists("nbrs", predicate).alias("found"))
+
+
 def jaccard_pairs(edges: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     """(u, v, jac) for connected-or-wedge pairs u<v:
     |N(u)∩N(v)| / |N(u)∪N(v)|."""

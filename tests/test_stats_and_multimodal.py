@@ -101,3 +101,19 @@ def test_binary_reader_rejects_wrong_flag(spark):
     buf = open("/root/reference/test/data/facebook.bin", "rb").read()
     with pytest.raises(ValueError):
         _parse_adjacency_binary(buf, directed=True)
+
+
+def test_neighbors_exist_foreach_until(spark):
+    from pyspark.sql import functions as F
+
+    from simdgraphprocessing_spark.graph import adjacency
+    from simdgraphprocessing_spark.operators.neighbors import neighbors_exist
+
+    e = edge_df(spark, two_triangles_bridge_pairs())
+    adj = adjacency(e)
+    got = {
+        r["id"]: r["found"]
+        for r in neighbors_exist(adj, lambda n: n >= 4).collect()
+    }
+    # vertices adjacent to 4 or 5: 3,4,5 (triangle 3-4-5); 2 only sees 0,1,3
+    assert got == {0: False, 1: False, 2: False, 3: True, 4: True, 5: True}
