@@ -412,6 +412,37 @@ def _q_media_feature_sums(spark, sf_dir):
     return extract_feature_sums(media_from_documents(_docs(spark, sf_dir)))
 
 
+def _q_stream_windowed_degree(spark, sf_dir):
+    """Structured Streaming through the driver gate: events → edge
+    stream (ONE file → one micro-batch, so the availableNow watermark
+    is deterministic: final watermark = max(ts) − 2h, and append mode
+    emits exactly the windows whose end ≤ that watermark)."""
+    import os
+    import tempfile
+
+    from simdgraphprocessing_spark.streaming import (
+        materialize_stream,
+        read_edge_stream,
+        windowed_degree_counts,
+    )
+
+    tmp = os.path.join(tempfile.gettempdir(), "sgp_stream_in", os.path.basename(sf_dir))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("src"),
+        F.col("event_id").alias("dst"),
+        F.col("ts"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    stream = read_edge_stream(spark, tmp)
+    out = windowed_degree_counts(stream, window="1 hour", watermark="2 hours")
+    res = materialize_stream(out)
+    return res.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "id",
+        "degree",
+    )
+
+
 # -- SQL generation helpers (same constants as the Spark pipeline) --
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
@@ -663,6 +694,20 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id % 3 = 2
 """,
         "media_feature_sums": _media_feature_sums_sql(),
+        # batch semantics of the streaming windowed-degree query:
+        # 1-hour tumbling windows == date_trunc hour; append mode under
+        # a 2h watermark emits exactly the windows whose END <= final
+        # watermark (max ts - 2h). Timestamps exported as epoch seconds
+        # (both engines UTC).
+        "stream_windowed_degree": """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (SELECT date_trunc('hour', ts) AS ws, user_id FROM events)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start_epoch,
+       user_id AS id, count(*) AS degree
+FROM w, mx
+WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+GROUP BY ws, user_id
+""",
     }
 
 
@@ -711,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": _q_embedding_cosine_dups,
         "media_frame_sample": _q_media_frame_sample,
         "media_feature_sums": _q_media_feature_sums,
+        "stream_windowed_degree": _q_stream_windowed_degree,
     }
 
 

@@ -64,9 +64,14 @@ def main():
             "edges/sec/iter |"
         ),
         (
-            "| Triangle counting | "
+            "| Triangle counting (best of join/csr) | "
             f"local[8]: {t.get('triangles_per_sec_local8', 0):,.0f}/s, "
             f"local[32]: {t.get('triangles_per_sec_local32', 0):,.0f}/s |"
+        ),
+        (
+            "| Triangle wall @32 | "
+            f"join {q.get('triangles_local32', '—')}s, "
+            f"csr {q.get('triangles_csr_local32', '—')}s |"
         ),
         "",
         "## N → 4N scaling efficiency (north-rule criterion, sandbox proxy)",
@@ -76,7 +81,7 @@ def main():
     ]
     for key, label in [
         ("scaling_efficiency_pagerank_1_to_4", "PageRank local[1] → local[4]"),
-        ("scaling_efficiency_pagerank_2_to_8", "PageRank local[2] → local[8]"),
+        ("scaling_efficiency_pagerank_2_to_8", "PageRank local[2] → local[8] (HEADLINE, medians-of-3)"),
         ("scaling_efficiency_pagerank_8_to_32", "PageRank local[8] → local[32]"),
         ("scaling_efficiency_triangles_8_to_32", "Triangles local[8] → local[32]"),
     ]:
@@ -85,6 +90,19 @@ def main():
         )
         if key in t:
             lines.append(f"| {label} | **{t[key]:.3f}** | {others or '—'} |")
+    spread = t.get("repeat_spread") or {}
+    if spread:
+        lines += [
+            "",
+            "Within-run repeat samples (fresh process each, PageRank "
+            "edges/sec/iter; the headline pair uses the MEDIAN of these):",
+            "",
+            "| level | samples | rel. spread |",
+            "|---|---|---|",
+        ]
+        for lvl, d in sorted(spread.items(), key=lambda kv: int(kv[0][5:])):
+            samples = ", ".join(f"{v:,.0f}" for v in d["samples_edges_per_sec_iter"])
+            lines.append(f"| {lvl} | {samples} | {d['rel_spread']:.1%} |")
     lines += [
         "",
         "**Reading these numbers.** The north rule's ≥0.8 criterion is "

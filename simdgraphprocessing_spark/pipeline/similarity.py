@@ -145,20 +145,35 @@ def _hyperplane(kk: int, dim_col):
 def lsh_buckets(
     df: DataFrame, n_planes: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """(vec_id, bucket) — random-hyperplane sign LSH, integer math."""
+    """(vec_id, bucket) — random-hyperplane sign LSH, integer math.
+
+    Fully NARROW plan: each plane's dot product is a higher-order
+    ``aggregate`` over ``zip_with(qvec, sequence(...))`` — no
+    posexplode, no D-rows-per-vector shuffle, the whole bucket
+    assignment is one map stage that scales with the vector count
+    alone. Same integer values as the hyperplane formula the DuckDB
+    oracle embeds."""
     base = quantize_embeddings(df, vec_col, id_col)
-    posting = base.select(F.col(id_col), F.posexplode("qvec").alias("pos", "v"))
-    dots = posting.groupBy(id_col).agg(
-        *[
-            F.sum(F.col("v") * _hyperplane(kk, F.col("pos"))).alias(f"d{kk}")
-            for kk in range(n_planes)
-        ]
-    )
     bucket = None
+    row = base
+
+    def _dot_lambda(k):
+        return lambda x, j: x * _hyperplane(k, j)
+
     for kk in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                "qvec",
+                F.sequence(F.lit(0).cast("long"), F.size("qvec") - 1),
+                _dot_lambda(kk),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        row = row.withColumn(f"d{kk}", dot)
         bit = F.when(F.col(f"d{kk}") > 0, F.lit(1 << kk)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return dots.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+    return row.select(F.col(id_col), bucket.cast("long").alias("bucket"))
 
 
 def embedding_cosine_dups(

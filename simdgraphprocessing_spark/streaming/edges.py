@@ -31,6 +31,32 @@ def read_edge_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     )
 
 
+def materialize_stream(out: DataFrame, name: str | None = None) -> DataFrame:
+    """Run a streaming plan to completion over the currently-available
+    input (``trigger(availableNow=True)``) into an in-memory sink and
+    return the finished batch DataFrame.
+
+    This is the deterministic harness the tests and the driver
+    correctness gate use — production jobs point ``writeStream`` at
+    parquet/Kafka with a checkpointLocation instead. Append-mode
+    watermark semantics apply: only windows finalized by the final
+    watermark are emitted.
+    """
+    import uuid
+
+    if name is None:
+        name = "stream_" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
 def windowed_degree_counts(
     stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
