@@ -132,7 +132,10 @@ def main():
         "counts track parallelism (verified: `explain` shows no "
         "SinglePartition anywhere in the superstep). Host noise on this "
         "shared sandbox moves absolute throughput ±13–30% run to run "
-        "(spread table above); medians-of-3 bound it.",
+        "(spread table above); medians-of-3 bound it. "
+        "BENCH/DECOMPOSITION.md carries the measured two-graph-size "
+        "F + W/N decomposition backing this (F constant at 0.9 s across "
+        "a 4× size change, W linear in E).",
         "",
         "## Headline metric",
         "",
