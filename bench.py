@@ -284,7 +284,10 @@ def main():
     # 4× pair by medians; low-core pairs are the honest in-sandbox
     # stand-in for N vs 4N executors (every level here shares ONE
     # box's DRAM bus, which real 4N-executor clusters do not).
-    REPEATS = {8: 3, 4: 3, 2: 3, 1: 3}
+    # Repeats concentrate on the HEADLINE pair (2→8) to keep total
+    # bench wall ~40 min; 1→4 is reported from single samples with its
+    # cross-round history (r01 driver 0.821, r02 builder 0.814/0.787).
+    REPEATS = {8: 3, 2: 3}
     suite = {}
     spread = {}
     for cores in (32, 8, 4, 2, 1):
@@ -301,7 +304,8 @@ def main():
         # triangles/gather only measured on the first repeat — carry over
         for r in runs:
             for key in (
-                "triangles", "triangle_sec", "triangles_per_sec",
+                "triangles", "triangle_sec", "triangle_csr_sec",
+                "triangles_per_sec",
                 "pagerank_gather_sec", "pagerank_gather_median_step_sec",
                 "pagerank_gather_edges_per_sec_iter",
             ):
@@ -388,17 +392,9 @@ def main():
             "scaling_efficiency_pagerank_8_to_32": eff("pagerank_edges_per_sec_iter", 8, 32),
             "scaling_efficiency_triangles_8_to_32": eff("triangles_per_sec", 8, 32),
             # north-rule evidence: same job, same input, N vs 4N cores,
-            # medians-of-3 at both levels (see REPEATS above); headline
-            # = the better of the two below-bandwidth-knee 4x pairs
-            "scaling_headline_pair": max(
-                [("local1_to_local4", eff("pagerank_edges_per_sec_iter", 1, 4)),
-                 ("local2_to_local8", eff("pagerank_edges_per_sec_iter", 2, 8))],
-                key=lambda kv: kv[1],
-            )[0],
-            "scaling_efficiency_headline": max(
-                eff("pagerank_edges_per_sec_iter", 1, 4),
-                eff("pagerank_edges_per_sec_iter", 2, 8),
-            ),
+            # medians-of-3 at both levels (see REPEATS above)
+            "scaling_headline_pair": "local2_to_local8",
+            "scaling_efficiency_headline": eff("pagerank_edges_per_sec_iter", 2, 8),
             "repeat_spread": spread,
         },
         "conf": CONF_NOTE,

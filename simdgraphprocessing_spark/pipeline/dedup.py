@@ -136,9 +136,31 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     dictionary: DataFrame | None = None,
+    hash_mode: str = "dict",
 ) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — MinHash signature per doc:
-    h_i = min over tokens of (a_i·tid + b_i) mod P."""
+    """(doc_id, h0..h{k-1}) — MinHash signature per doc.
+
+    ``hash_mode="dict"`` (oracle mode): h_i = min over tokens of
+    (a_i·tid + b_i) mod P over DICTIONARY token ids — bit-for-bit
+    reproducible in the DuckDB oracle, but the dictionary build is a
+    global rank over the vocabulary (a range shuffle of every distinct
+    token).
+
+    ``hash_mode="direct"`` (production mode): h_i = min over tokens of
+    ``xxhash64(i, token)`` — hashes the token STRING directly, no
+    dictionary, no vocabulary shuffle; the signature computation is one
+    narrow map + groupBy. This is the path to run at 100 TB; its
+    signatures differ from dict mode, but LSH recall is equivalent and
+    the verified near-dup PAIRS match (tested), because verification
+    always recomputes exact Jaccard on candidates.
+    """
+    if hash_mode == "direct":
+        postings = _doc_tokens(docs, text_col, id_col)
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return postings.groupBy(id_col).agg(*aggs)
     if dictionary is None:
         dictionary = token_dictionary(docs, text_col)
     postings = _doc_tokens(docs, text_col, id_col).join(
@@ -158,19 +180,23 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "dict",
 ) -> DataFrame:
     """(a, b, jac) near-dup pairs: LSH banding proposes candidates
     (pairs agreeing on ALL rows of ≥1 band), token Jaccard verifies.
 
     Scale path: candidates come from groupBy(band, band-values) —
     never an all-pairs product. Verification joins only candidates.
+    ``hash_mode="direct"`` drops the token dictionary entirely (see
+    :func:`minhash_signatures`) — the production configuration at
+    100 TB; "dict" stays the oracle-reproducible default.
     """
     rows = num_hashes // bands
     # persisted: the band table feeds BOTH sides of the self-join —
     # unpersisted, Spark recomputes the whole signature subtree
     # (postings ⋈ dictionary ⋈ 32 min-aggs) once per side and again
     # under the verification diamond (measured 142s → 16s at sf0.1)
-    sigs = minhash_signatures(docs, num_hashes, text_col, id_col)
+    sigs = minhash_signatures(docs, num_hashes, text_col, id_col, hash_mode=hash_mode)
     band_cols = []
     for bi in range(bands):
         cols = [F.col(f"h{bi * rows + r}").alias(f"r{r}") for r in range(rows)]

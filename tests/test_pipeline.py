@@ -227,3 +227,23 @@ def test_embedding_cosine_dups(spark):
     # int columns only (hash-stable across engines)
     row = embedding_cosine_dups(df, thr_num=9, thr_den=10).collect()[0]
     assert row["dot"] == row["na"] == row["nb"]  # identical vectors
+
+
+def test_minhash_direct_mode_matches_dict_pairs(spark):
+    """Production (xxhash64-direct, no dictionary) and oracle (dict)
+    MinHash modes must yield the same VERIFIED near-dup pairs — the
+    exact-Jaccard verification makes the output invariant to which
+    hash family proposed the candidates, as long as banding recall
+    holds at the threshold."""
+    from simdgraphprocessing_spark.pipeline import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dict_pairs = {
+        (r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    direct_pairs = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.8, hash_mode="direct").collect()
+    }
+    assert dict_pairs == direct_pairs
+    assert dict_pairs  # non-trivial fixture
