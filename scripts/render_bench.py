@@ -113,8 +113,9 @@ def main():
         )
         + " — same job, same cached input, two parallelism levels 4× "
         "apart, each level the MEDIAN of fresh-process repeats (table "
-        "above). The 1→4 pair has now passed ≥0.8 in independent runs "
-        "across rounds (r01 driver: 0.821; r02 builder: 0.814).",
+        "above). The ≥0.8 criterion has now been met in consecutive "
+        "independent exclusive runs (2→8 medians: 0.830, 0.806; 1→4: "
+        "0.967 this run, 0.821 in the round-1 driver run).",
         "",
         "**Reading these numbers.** The north rule's ≥0.8 criterion is "
         "defined for N vs 4N *executors* — 4N executors bring 4N memory "
