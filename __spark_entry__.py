@@ -292,6 +292,44 @@ def _q_triangles_node_filtered(spark, sf_dir):
     return triangle_count(induced_subgraph(_sym_parts(spark, sf_dir), keep))
 
 
+def _q_triangles_attr_adjacency(spark, sf_dir):
+    """edge attributes carried INTO the adjacency (the reference's
+    ``*FromAttributeList`` loaders keep per-edge attrs aligned with the
+    sorted neighbor lists, MutableGraph.hpp:493-513, so edge_selection
+    predicates run against the built graph, fish_counting.cpp:33-36):
+    parts co-order edges attributed with the EARLIEST co-order year;
+    the ``yr == 1995`` predicate runs per-row inside the adjacency
+    (narrow higher-order filter — no re-grouping of E), then triangles
+    are counted straight from the filtered adjacency."""
+    from simdgraphprocessing_spark.graph import adjacency, filter_adjacency_attrs
+    from simdgraphprocessing_spark.operators import triangles_from_adjacency
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").alias("p"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    ea = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.min(F.col("a.yr")).alias("yr"))
+    )
+    sym = ea.union(ea.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "yr"))
+    adj = adjacency(sym, attr="yr")
+    filtered = filter_adjacency_attrs(adj, lambda y: y == F.lit(1995))
+    return triangles_from_adjacency(filtered)
+
+
 def _q_degree_stats_full(spark, sf_dir):
     from simdgraphprocessing_spark.operators import degree_stats_full
 
@@ -343,7 +381,11 @@ def _q_fingerprints(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     from simdgraphprocessing_spark.pipeline import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # max_token_df=None: the DuckDB oracle's jac_all CTE has no df guard,
+    # so the oracle-facing query must compute over the identical token set
+    # (the guarded default is the production path; see ngram_jaccard_pairs
+    # docstring and tests/test_pipeline.py for its coverage).
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, max_token_df=None)
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -738,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_path_length": _q_n_path_length,
         "symbiosity_undirected": _q_symbiosity_undirected,
         "triangles_node_filtered": _q_triangles_node_filtered,
+        "triangles_attr_adjacency": _q_triangles_attr_adjacency,
         "graph_degree_stats_full": _q_degree_stats_full,
         # training-data pipeline ops (documents / embeddings tables)
         "dedup_exact": _q_dedup_exact,
@@ -802,9 +845,11 @@ SELECT src AS id, count(*) AS degree FROM sym GROUP BY src
         "graph_degree_stats": f"""
 WITH {EPARTS},
 deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
-SELECT count(*) AS num_vertices, sum(degree) AS num_directed_edges,
+SELECT CAST(count(*) AS BIGINT) AS num_vertices,
+       CAST(sum(degree) AS BIGINT) AS num_directed_edges,
        CAST((sum(degree) * 1000000) // count(*) AS BIGINT) AS avg_degree_micros,
-       max(degree) AS max_degree, min(degree) AS min_degree
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       CAST(min(degree) AS BIGINT) AS min_degree
 FROM deg
 """,
         "graph_max_degree_vertex": f"""
@@ -1082,6 +1127,24 @@ WITH li AS (
 ),
 e AS (SELECT DISTINCT a.p AS src, b.p AS dst
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
+SELECT count(*) AS triangles
+FROM e e1 JOIN e e2 ON e1.dst = e2.src
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+        # attributed adjacency: edges carry the EARLIEST co-order year;
+        # predicate yr = 1995 selects edges whose first co-order was
+        # 1995 (distinct from triangles_year_filtered's "existed in
+        # 1995" semantics — this one exercises the attr-in-adjacency
+        # mechanism end to end)
+        "triangles_attr_adjacency": """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p, year(o_orderdate) AS yr
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ea AS (SELECT a.p AS src, b.p AS dst, min(a.yr) AS yr
+       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+       GROUP BY a.p, b.p),
+e AS (SELECT src, dst FROM ea WHERE yr = 1995)
 SELECT count(*) AS triangles
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
 JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst

@@ -130,17 +130,67 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
     return edges.filter(F.col("src") < F.col("dst"))
 
 
-def adjacency(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def adjacency(
+    edges: DataFrame, src: str = "src", dst: str = "dst", attr: str | None = None
+) -> DataFrame:
     """Adjacency-clustered form: ``(id, nbrs array<long> sorted, degree)``.
 
     The Spark analog of the reference's CSR rows
     (``SparseMatrix.hpp:22-30``): all neighbors of a vertex contiguous
     and sorted. One shuffle (groupBy src); ``sort_array`` restores the
     reference's per-row sorted invariant (``MutableGraph.hpp:588``).
+
+    ``attr``: name of a per-edge attribute column to carry through —
+    the reference's ``*FromAttributeList`` loaders keep edge attrs
+    aligned with the neighbor list while sorting
+    (``MutableGraph.hpp:493-513``); here the struct sort does the same
+    alignment, and the output gains an ``attrs`` array parallel to
+    ``nbrs`` so predicates can run per-row inside the adjacency (see
+    :func:`filter_adjacency_attrs`) without re-grouping E.
     """
-    return edges.groupBy(F.col(src).alias("id")).agg(
-        F.sort_array(F.collect_list(F.col(dst))).alias("nbrs"),
-        F.count("*").alias("degree"),
+    if attr is None:
+        return edges.groupBy(F.col(src).alias("id")).agg(
+            F.sort_array(F.collect_list(F.col(dst))).alias("nbrs"),
+            F.count("*").alias("degree"),
+        )
+    return (
+        edges.groupBy(F.col(src).alias("id"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(dst).alias("nbr"), F.col(attr).alias("attr")))
+            ).alias("_z")
+        )
+        .select(
+            "id",
+            F.col("_z.nbr").alias("nbrs"),
+            F.col("_z.attr").alias("attrs"),
+            F.size("_z").alias("degree"),
+        )
+    )
+
+
+def filter_adjacency_attrs(adj: DataFrame, predicate) -> DataFrame:
+    """Apply an edge-attribute predicate INSIDE the adjacency — the
+    reference's edge_selection over an attribute list
+    (``apps/undirected_fish_counting.cpp:33-36`` filters
+    ``attr == 2012`` while producing the query subgraph from the
+    already-built attributed graph, not by re-reading the edge list).
+
+    ``adj`` is the output of :func:`adjacency` with ``attr=...``;
+    ``predicate`` is a python function Column → Column over one attr
+    value. Runs as a per-row higher-order ``filter`` over the zipped
+    (nbr, attr) arrays — a narrow JVM map, NO shuffle: the E-sized
+    grouping already paid for is reused, which is the whole point of
+    storing attrs in the adjacency. Returns ``(id, nbrs, degree)``
+    (sorted invariant preserved — filtering keeps order).
+    """
+    kept = F.filter(
+        F.arrays_zip("nbrs", "attrs"), lambda s: predicate(s["attrs"])
+    )
+    return (
+        adj.withColumn("_k", kept)
+        .select("id", F.col("_k.nbrs").alias("nbrs"), F.size("_k").alias("degree"))
+        .filter(F.col("degree") > 0)
     )
 
 

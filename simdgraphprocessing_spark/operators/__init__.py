@@ -1,5 +1,6 @@
 from simdgraphprocessing_spark.operators.triangles import (  # noqa: F401
     triangle_count,
+    triangles_from_adjacency,
     triangles_per_edge,
 )
 from simdgraphprocessing_spark.operators.neighbors import (  # noqa: F401

@@ -91,6 +91,64 @@ def triangle_count(edges: DataFrame, method: str = "join") -> DataFrame:
     return tri
 
 
+def triangles_from_adjacency(adj: DataFrame) -> DataFrame:
+    """Global triangle count straight from an adjacency table
+    ``(id, nbrs array<long> sorted, ...)`` over the SYMMETRIZED graph —
+    the consumer of :func:`~simdgraphprocessing_spark.graph.adjacency`
+    with ``attr=...`` + ``filter_adjacency_attrs``: the reference runs
+    edge_selection attribute predicates against the already-built
+    attributed graph (``apps/undirected_fish_counting.cpp:33-36``) and
+    then intersects, never re-reading the edge list; this is the same
+    contract (filter the adjacency per row — narrow — then count here
+    without re-grouping E).
+
+    Plan: orient per row with a higher-order ``filter(nbrs, n > id)``
+    (narrow, order-preserving), explode to oriented edges carrying the
+    src list along, ONE hash join on dst for the dst list, Arrow
+    intersect kernel, global sum. Returns ``(triangles bigint)``.
+
+    Scale note: like the join-shipped CSR path, this ships each
+    oriented list once per incident oriented edge, so degree-rank the
+    ids first (``Graph.from_edge_list_degree_ordered``) to bound the
+    oriented lists by O(sqrt(E)) on power-law graphs.
+    """
+    from simdgraphprocessing_spark import kernels
+
+    o = adj.select(
+        "id", F.filter("nbrs", lambda n: n > F.col("id")).alias("nbrs")
+    ).filter(F.size("nbrs") > 0)
+    pairs = (
+        o.select(
+            F.col("id").alias("src"),
+            F.explode("nbrs").alias("dst"),
+            F.col("nbrs").alias("nbrs_src"),
+        )
+        .join(
+            o.select(F.col("id").alias("dst"), F.col("nbrs").alias("nbrs_dst")), "dst"
+        )
+        .select("src", "dst", "nbrs_src", "nbrs_dst")
+    )
+
+    out_schema = "tri_cnt long"
+
+    def count_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            a = batch.column("nbrs_src")
+            b = batch.column("nbrs_dst")
+            counts = kernels.intersect_count_many(
+                a.offsets.to_numpy(),
+                a.values.to_numpy(zero_copy_only=False),
+                b.offsets.to_numpy(),
+                b.values.to_numpy(zero_copy_only=False),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([int(counts.sum())], pa.int64())], names=["tri_cnt"]
+            )
+
+    per_batch = pairs.mapInArrow(count_batches, out_schema)
+    return per_batch.agg(F.coalesce(F.sum("tri_cnt"), F.lit(0)).alias("triangles"))
+
+
 # oriented adjacencies up to this many values broadcast as a shared
 # CSR (8 B/value → 400 MB at the cap); larger graphs join-ship lists
 CSR_BROADCAST_VALUES = 50_000_000

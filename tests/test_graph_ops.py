@@ -175,3 +175,69 @@ def test_salt_hubs_two_phase_aggregation(spark):
     assert (
         two_phase.join(direct, ["id", "degree"]).count() == direct.count()
     )
+
+
+# ---- attributed adjacency (reference *FromAttributeList,
+# MutableGraph.hpp:362-516: attrs stay aligned with sorted nbr lists) ----
+
+
+def _attr_edges(spark, triples):
+    """(src, dst, attr) triples → symmetric attributed edge DF."""
+    rows = [(int(a), int(b), int(x)) for a, b, x in triples]
+    rows += [(b, a, x) for a, b, x in rows]
+    return spark.createDataFrame(rows, "src long, dst long, yr long")
+
+
+def test_adjacency_attr_alignment(spark):
+    from simdgraphprocessing_spark.graph import adjacency
+
+    # neighbor lists must come out sorted with attrs aligned per-slot
+    tri = [(0, 2, 7), (0, 1, 9), (1, 2, 5)]
+    adj = {r["id"]: r for r in adjacency(_attr_edges(spark, tri), attr="yr").collect()}
+    assert adj[0]["nbrs"] == [1, 2] and adj[0]["attrs"] == [9, 7]
+    assert adj[1]["nbrs"] == [0, 2] and adj[1]["attrs"] == [9, 5]
+    assert adj[2]["nbrs"] == [0, 1] and adj[2]["attrs"] == [7, 5]
+    assert all(r["degree"] == 2 for r in adj.values())
+
+
+def test_adjacency_attr_directed(spark):
+    """Directed attribute list (MutableGraph.hpp:724-892): out-adjacency
+    only, attrs aligned — no symmetrization."""
+    from simdgraphprocessing_spark.graph import adjacency
+
+    df = spark.createDataFrame(
+        [(0, 2, 7), (0, 1, 9), (2, 1, 3)], "src long, dst long, yr long"
+    )
+    adj = {r["id"]: r for r in adjacency(df, attr="yr").collect()}
+    assert set(adj) == {0, 2}
+    assert adj[0]["nbrs"] == [1, 2] and adj[0]["attrs"] == [9, 7]
+    assert adj[2]["nbrs"] == [1] and adj[2]["attrs"] == [3]
+
+
+def test_filter_adjacency_attrs_and_triangles(spark):
+    from simdgraphprocessing_spark.graph import adjacency, filter_adjacency_attrs
+    from simdgraphprocessing_spark.operators import triangles_from_adjacency
+
+    # K4 on {0,1,2,3} all attr 1, plus a 2012-attr triangle 3-4-5
+    k4 = [(i, j, 1) for i in range(4) for j in range(i + 1, 4)]
+    extra = [(3, 4, 2012), (4, 5, 2012), (3, 5, 2012)]
+    adj = adjacency(_attr_edges(spark, k4 + extra), attr="yr")
+
+    f2012 = filter_adjacency_attrs(adj, lambda a: a == F.lit(2012))
+    rows = {r["id"]: r for r in f2012.collect()}
+    assert set(rows) == {3, 4, 5}
+    assert rows[3]["nbrs"] == [4, 5]  # sorted invariant survives the filter
+    assert triangles_from_adjacency(f2012).collect()[0]["triangles"] == 1
+
+    f1 = filter_adjacency_attrs(adj, lambda a: a == F.lit(1))
+    assert triangles_from_adjacency(f1).collect()[0]["triangles"] == 4
+
+
+def test_triangles_from_adjacency_matches_edge_path(spark):
+    from simdgraphprocessing_spark.graph import adjacency
+    from simdgraphprocessing_spark.operators import triangles_from_adjacency
+
+    pairs = zipf_random_pairs()
+    e = edge_df(spark, pairs)
+    got = triangles_from_adjacency(adjacency(e)).collect()[0]["triangles"]
+    assert got == tri_oracle(pairs)
