@@ -59,21 +59,23 @@ def fish_oracle(pairs):
     return cnt
 
 
+@pytest.mark.parametrize("method", ["factorized", "enumerate"])
 @pytest.mark.parametrize(
     "pairs_fn",
     [k5_pairs, two_triangles_bridge_pairs, lambda: zipf_random_pairs(n=40, avg_deg=4)],
 )
-def test_tadpole_vs_bruteforce(spark, pairs_fn):
+def test_tadpole_vs_bruteforce(spark, pairs_fn, method):
     pairs = pairs_fn()
     e = edge_df(spark, pairs)
-    assert tadpole_count(e).collect()[0]["tadpoles"] == tadpole_oracle(pairs)
+    assert tadpole_count(e, method=method).collect()[0]["tadpoles"] == tadpole_oracle(pairs)
 
 
+@pytest.mark.parametrize("method", ["factorized", "enumerate"])
 @pytest.mark.parametrize(
     "pairs_fn",
     [k5_pairs, two_triangles_bridge_pairs, lambda: zipf_random_pairs(n=40, avg_deg=4)],
 )
-def test_fish_vs_bruteforce(spark, pairs_fn):
+def test_fish_vs_bruteforce(spark, pairs_fn, method):
     pairs = pairs_fn()
     e = edge_df(spark, pairs)
-    assert fish_count(e).collect()[0]["fishes"] == fish_oracle(pairs)
+    assert fish_count(e, method=method).collect()[0]["fishes"] == fish_oracle(pairs)

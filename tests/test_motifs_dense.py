@@ -7,12 +7,13 @@ operators' (and the reference apps') enumeration semantics
 self-join plans stay exact when every list is maximally dense, not
 just on the 44-edge sparse fixture.
 
-Note on scale: these motif counts are ENUMERATIONS — the count equals
-the number of instances, and both the reference's nested SIMD loops
-and our joins materialize the instance stream. On graphs where the
-instance count itself explodes (dense sf≥0.01 co-order graphs reach
-10^13), no enumerator finishes; a factorized counting rewrite is the
-documented path there (see motifs.py docstring).
+Both methods are asserted here: ``enumerate`` (the instance-stream
+join, which mirrors the reference loops literally) and the default
+``factorized`` closed form, which never materializes instances and is
+the only path that finishes on dense co-order graphs (sf0.01 eparts:
+1,491,923,595,749 tadpoles in ~9 s, 69,392,205,202 fish in ~22 s at
+local[16] — the enumerators' ~10^13-instance streams never finish;
+bench.py records the factorized timings per round).
 """
 
 from __future__ import annotations
@@ -78,16 +79,18 @@ def k12(spark):
     e.unpersist()
 
 
-def test_k12_tadpole(k12):
+@pytest.mark.parametrize("method", ["factorized", "enumerate"])
+def test_k12_tadpole(k12, method):
     from simdgraphprocessing_spark.operators.motifs import tadpole_count
 
-    assert tadpole_count(k12).collect()[0]["tadpoles"] == brute_tadpole()
+    assert tadpole_count(k12, method=method).collect()[0]["tadpoles"] == brute_tadpole()
 
 
-def test_k12_fish(k12):
+@pytest.mark.parametrize("method", ["factorized", "enumerate"])
+def test_k12_fish(k12, method):
     from simdgraphprocessing_spark.operators.motifs import fish_count
 
-    assert fish_count(k12).collect()[0]["fishes"] == brute_fish()
+    assert fish_count(k12, method=method).collect()[0]["fishes"] == brute_fish()
 
 
 def test_k12_lollipop(k12):
