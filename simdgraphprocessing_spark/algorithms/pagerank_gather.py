@@ -140,13 +140,25 @@ def pagerank_gather(
                 names=["id", "msum"],
             )
 
-        part = parted.mapInArrow(gather, out_schema).toPandas()
+        # The V-row collect is the broadcast strategy's invariant, not
+        # an accident: the next superstep's broadcast vector can only
+        # be built on the driver, so V doubles must land there each
+        # step (that is why this path is capped at MAX_DENSE_VERTICES
+        # and the shuffle-join pagerank() is the unbounded-scale
+        # default). The collect is already partition-reduced (one
+        # bincount row per dst in the gather) and travels as Arrow —
+        # no pandas conversion, no row objects.
+        tbl = parted.mapInArrow(gather, out_schema).toArrow()
         bw.destroy()
 
         msum = np.zeros(n, dtype=np.float64)
         # range partitioning makes each dst unique across partitions,
         # but stay robust to boundary duplicates: add, not assign
-        np.add.at(msum, part["id"].to_numpy(), part["msum"].to_numpy(dtype=np.float64))
+        np.add.at(
+            msum,
+            tbl.column("id").to_numpy(zero_copy_only=False),
+            tbl.column("msum").to_numpy(zero_copy_only=False),
+        )
         dangling = float(rank[dangling_mask].sum())
         new_rank = (1.0 - damping) / n + damping * (msum + dangling / n)
         delta = float(np.abs(new_rank - rank).sum())

@@ -30,13 +30,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-# Cached range-partitioned inputs, one per global_row_number call. The
-# persist is semantically REQUIRED (it pins the sampled range
-# boundaries so the per-partition counts collected in pass 1 describe
-# the exact partitioning pass 2 ranks within); it therefore cannot be
-# dropped before the caller materializes the result. Callers that are
-# done with a ranking (benchmarks, long sessions) call
-# :func:`release_rank_caches` to free the accumulated blocks.
+# Cached range-partitioned inputs, one per global_row_number call with
+# eager=False. The persist is semantically REQUIRED while the result is
+# lazy (it pins the sampled range boundaries so the per-partition
+# counts collected in pass 1 describe the exact partitioning pass 2
+# ranks within). The eager default materializes + releases immediately
+# and never registers here; lazy callers free their blocks with
+# :func:`release_rank_caches`.
 _RANK_CACHES: list[DataFrame] = []
 
 
@@ -58,6 +58,7 @@ def global_row_number(
     out_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Add ``out_col`` = 0-based (or ``start``-based) global rank of
     each row under ``order`` (which MUST be a total order — add a
@@ -65,9 +66,18 @@ def global_row_number(
     ``row_number().over(Window.orderBy(*order)) - 1 + start`` but
     scalable: no single-partition exchange.
 
-    Each call persists its range-partitioned input for the session (a
-    V-sized cache, required for boundary stability — see module note);
-    call :func:`release_rank_caches` when rankings are no longer live.
+    ``eager=True`` (default): the ranked result is materialized with
+    ``localCheckpoint`` (cutting its lineage) and the range-partitioned
+    input is unpersisted IMMEDIATELY — nothing accumulates in executor
+    storage across calls, so library callers (reorder_bfs in a loop,
+    long sessions) stay leak-free with no cleanup call. Rankings are
+    V-sized, so the checkpoint cost is one extra V write.
+
+    ``eager=False``: fully lazy; the range-partitioned input stays
+    persisted for the session (boundary stability — see module note)
+    and is registered for :func:`release_rank_caches`. Use when the
+    ranking feeds a larger lazy plan exactly once and the extra
+    materialization matters.
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -79,7 +89,8 @@ def global_row_number(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    _RANK_CACHES.append(parted)
+    if not eager:
+        _RANK_CACHES.append(parted)
     # one light job over the (already small relative to E) input to
     # learn per-range-partition counts; cumsum on the driver is over
     # at most `p` rows
@@ -91,8 +102,14 @@ def global_row_number(
         acc += counts.get(pid, 0)
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order)
-    return (
+    ranked = (
         parted.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, F.row_number().over(w) - 1 + F.col("_off"))
         .drop("_pid", "_off")
     )
+    if eager:
+        # materialize + cut lineage, then free the boundary-pinning
+        # cache right away (see docstring)
+        ranked = ranked.localCheckpoint(eager=True)
+        parted.unpersist()
+    return ranked

@@ -150,34 +150,77 @@ def triangles_from_adjacency(adj: DataFrame) -> DataFrame:
 
 
 # oriented adjacencies up to this many values broadcast as a shared
-# CSR (8 B/value → 400 MB at the cap); larger graphs join-ship lists
+# CSR (8 B/value → 400 MB at the cap); larger graphs join-ship lists.
+# session.py sets spark.driver.maxResultSize=4g to clear the capped
+# Arrow collect with headroom.
 CSR_BROADCAST_VALUES = 50_000_000
 
+# the most recent shared-CSR broadcast: a NEW build unpersists the
+# previous one (drops executor copies; a still-lazy old plan would
+# transparently re-fetch from the driver), so repeated csr calls in
+# one session hold at most one executor-side CSR copy. Call
+# release_csr_broadcast() to drop the last one too.
+_LAST_CSR_BC = None
 
-def _per_edge_csr_broadcast(e: DataFrame) -> DataFrame:
-    """Shared-CSR realization: build the oriented CSR once from the
-    flat edge list (two int64 Arrow columns — no per-row list
-    objects), broadcast it, and drive the per-edge loop FROM the
-    broadcast: each task owns a contiguous vertex slice (boundaries
-    balanced by values-share so hub-heavy slices don't straggle) and
-    enumerates its edges out of the shared arrays. This is the
-    reference's ``par_for`` over CSR rows
-    (``undirected_triangle_counting.cpp:45-56``) with Spark broadcast
-    standing in for shared memory; the edge table is never scanned a
-    second time and nothing E-sized shuffles.
+
+def release_csr_broadcast() -> None:
+    global _LAST_CSR_BC
+    if _LAST_CSR_BC is not None:
+        _LAST_CSR_BC.unpersist()
+        _LAST_CSR_BC = None
+
+
+def _collect_sorted_edges(e: DataFrame, cap: int):
+    """Distributed CSR prep: range-partition + sort (src, dst) on the
+    EXECUTORS, then collect the already-sorted flat columns via Arrow
+    in partition order. The driver never sorts E — it concatenates
+    pre-sorted int64 blocks (a memcpy) and runs ``np.unique`` on a
+    sorted array (one linear scan). Returns ``(src, dst)`` numpy
+    arrays, or None when the oriented edge count exceeds ``cap``
+    (checked on the persisted sorted form — a cache-resident count,
+    not a second lineage pass).
     """
     import numpy as np
 
+    p = max(e.sparkSession.sparkContext.defaultParallelism, 8)
+    se = (
+        e.select("src", "dst")
+        .repartitionByRange(p, "src", "dst")
+        .sortWithinPartitions("src", "dst")
+        .persist()
+    )
+    try:
+        if se.count() > cap:
+            return None
+        tbl = se.toArrow()  # partition order == global (src, dst) order
+        s = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return s, d
+    finally:
+        se.unpersist()
+
+
+def _per_edge_csr_broadcast(e: DataFrame, sorted_cols) -> DataFrame:
+    """Shared-CSR realization: build the oriented CSR once from the
+    flat sorted edge columns (never from per-row list objects),
+    broadcast it, and drive the per-edge loop FROM the broadcast:
+    each task streams its edge batches against the shared arrays.
+    This is the reference's ``par_for`` over CSR rows
+    (``undirected_triangle_counting.cpp:45-56``) with Spark broadcast
+    standing in for shared memory; nothing E-sized shuffles.
+    """
+    import numpy as np
+
+    global _LAST_CSR_BC
     spark = e.sparkSession
     sc = spark.sparkContext
-    pdf = e.select("src", "dst").toPandas()
-    s = pdf["src"].to_numpy(dtype=np.int64)
-    d = pdf["dst"].to_numpy(dtype=np.int64)
-    order = np.lexsort((d, s))
-    s, values = s[order], d[order]
+    s, values = sorted_cols
+    # s is sorted — unique boundaries come from one linear scan
     ids, starts = np.unique(s, return_index=True)
     offsets = np.concatenate((starts, [len(s)])).astype(np.int64)
+    release_csr_broadcast()
     bc = sc.broadcast((ids, offsets, values))
+    _LAST_CSR_BC = bc
 
     out_schema = "src long, dst long, tri_cnt long"
 
@@ -221,17 +264,14 @@ def _per_edge_csr(edges: DataFrame) -> DataFrame:
     from simdgraphprocessing_spark import kernels
     from simdgraphprocessing_spark.graph import adjacency
 
-    # persist only across the size probe + CSR collect, then release:
-    # the deferred mapInArrow scan re-derives e from lineage (a filter
-    # over the caller's table — cheap; callers that loop should persist
-    # their edge table). A per-call leaked cache would accumulate in
-    # long sessions, which costs more than the one recompute.
-    e = _oriented(edges).persist()
-    try:
-        if e.count() <= CSR_BROADCAST_VALUES:
-            return _per_edge_csr_broadcast(e)
-    finally:
-        e.unpersist()
+    e = _oriented(edges)
+    # one distributed sort pass doubles as the size probe (count on
+    # the persisted sorted form) and the CSR source (Arrow collect of
+    # pre-sorted blocks) — no separate strategy-probe scan, no
+    # driver-side O(E) sort, no pandas materialization
+    sorted_cols = _collect_sorted_edges(e, CSR_BROADCAST_VALUES)
+    if sorted_cols is not None:
+        return _per_edge_csr_broadcast(e, sorted_cols)
     adj = adjacency(e).select("id", "nbrs")
     pairs = (
         e.join(adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "nbrs_src"), "src")

@@ -46,6 +46,10 @@ def get_spark(
         # 38M-edge PageRank bench, 48g gave 2–27s superstep walls vs
         # 2.4–5s at 12g. Override with SPARK_GRAFT_DRIVER_MEM.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # the shared-CSR triangle path Arrow-collects up to
+        # CSR_BROADCAST_VALUES oriented edges (~800 MB at the cap);
+        # the 1g default would kill that collect well under the cap
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
