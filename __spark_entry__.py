@@ -394,6 +394,45 @@ def _q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def _q_minhash_direct(spark, sf_dir):
+    """The PRODUCTION MinHash configuration (hash_mode='direct':
+    xxhash64 over token strings — no vocabulary dictionary, no
+    token-id range shuffle; see dedup.py). The oracle asserts this
+    path's verified output equals the exact token-Jaccard pair set —
+    i.e. banding recall is total at this threshold/band geometry, the
+    same guarantee the dict-mode twin demonstrates."""
+    from simdgraphprocessing_spark.pipeline import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8, hash_mode="direct")
+
+
+def _q_stream_running_degree(spark, sf_dir):
+    """The stateful-streaming operator (applyInPandasWithState)
+    through the driver gate: ONE input file → one micro-batch, so the
+    cumulative per-vertex state after the availableNow run is exactly
+    the batch GROUP BY — SQL-reproducible."""
+    import os
+    import tempfile
+
+    from simdgraphprocessing_spark.streaming import (
+        materialize_stream,
+        read_edge_stream,
+        running_degree,
+    )
+
+    tmp = os.path.join(
+        tempfile.gettempdir(), "sgp_stream_state_in", os.path.basename(sf_dir)
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("src"),
+        F.col("event_id").alias("dst"),
+        F.col("ts"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    stream = read_edge_stream(spark, tmp)
+    return materialize_stream(running_degree(stream), output_mode="update")
+
+
 def _q_simhash(spark, sf_dir):
     from simdgraphprocessing_spark.pipeline import simhash_codes
 
@@ -680,6 +719,18 @@ SELECT j.a, j.b, j.jac
 FROM cand c JOIN jac_all j ON j.a = c.a AND j.b = c.b
 WHERE j.jac >= 0.8
 """,
+        # direct mode's xxhash64 signatures are not reproducible in
+        # DuckDB, but its VERIFIED output is: candidates are filtered
+        # by exact token Jaccard, so with total banding recall the
+        # result is the full exact-Jaccard pair set
+        "minhash_direct_pairs": f"""
+WITH {_DOC_CTES}
+SELECT a, b, jac FROM jac_all WHERE jac >= 0.8
+""",
+        "stream_running_degree": """
+SELECT user_id AS id, count(*) AS degree, count(*) AS batch_edges
+FROM events GROUP BY user_id
+""",
         "simhash_codes": f"""
 WITH {_DOC_CTES},
 {_simhash_code_sql()}
@@ -790,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
+        "minhash_direct_pairs": _q_minhash_direct,
+        "stream_running_degree": _q_stream_running_degree,
         "simhash_codes": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,

@@ -31,7 +31,9 @@ def read_edge_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     )
 
 
-def materialize_stream(out: DataFrame, name: str | None = None) -> DataFrame:
+def materialize_stream(
+    out: DataFrame, name: str | None = None, output_mode: str = "append"
+) -> DataFrame:
     """Run a streaming plan to completion over the currently-available
     input (``trigger(availableNow=True)``) into an in-memory sink and
     return the finished batch DataFrame.
@@ -40,7 +42,8 @@ def materialize_stream(out: DataFrame, name: str | None = None) -> DataFrame:
     correctness gate use — production jobs point ``writeStream`` at
     parquet/Kafka with a checkpointLocation instead. Append-mode
     watermark semantics apply: only windows finalized by the final
-    watermark are emitted.
+    watermark are emitted. Stateful operators that emit per-batch
+    updates (``running_degree``) need ``output_mode="update"``.
     """
     import uuid
 
@@ -49,7 +52,7 @@ def materialize_stream(out: DataFrame, name: str | None = None) -> DataFrame:
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
