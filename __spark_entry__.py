@@ -330,6 +330,22 @@ def _q_triangles_attr_adjacency(spark, sf_dir):
     return triangles_from_adjacency(filtered)
 
 
+def _q_directed_attr_degrees(spark, sf_dir):
+    """directedFromAttributeList end-to-end (MutableGraph.hpp:724-892):
+    DIRECTED follow edges attributed with their event_type, attrs
+    carried aligned into the out-adjacency, the ``et == 'click'``
+    predicate applied per-row INSIDE the adjacency (no re-grouping of
+    E), out-degrees read straight from the filtered neighbor arrays."""
+    from simdgraphprocessing_spark.graph import adjacency, filter_adjacency_attrs
+    from simdgraphprocessing_spark.sources import follow_edges_attributed
+
+    adj = adjacency(follow_edges_attributed(spark, sf_dir), attr="et")
+    filtered = filter_adjacency_attrs(adj, lambda a: a == F.lit("click"))
+    return filtered.select(
+        "id", F.col("degree").cast("long").alias("out_degree")
+    )
+
+
 def _q_degree_stats_full(spark, sf_dir):
     from simdgraphprocessing_spark.operators import degree_stats_full
 
@@ -832,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbiosity_undirected": _q_symbiosity_undirected,
         "triangles_node_filtered": _q_triangles_node_filtered,
         "triangles_attr_adjacency": _q_triangles_attr_adjacency,
+        "directed_attr_out_degrees": _q_directed_attr_degrees,
         "graph_degree_stats_full": _q_degree_stats_full,
         # training-data pipeline ops (documents / embeddings tables)
         "dedup_exact": _q_dedup_exact,
@@ -1201,6 +1218,19 @@ e AS (SELECT src, dst FROM ea WHERE yr = 1995)
 SELECT count(*) AS triangles
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
 JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+        "directed_attr_out_degrees": """
+WITH ev AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+            FROM events),
+efa AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst,
+               a.event_type AS et
+        FROM ev a JOIN ev b
+        ON a.event_type = b.event_type
+        AND b.h = a.h + INTERVAL 1 HOUR
+        AND a.user_id <> b.user_id),
+ef AS (SELECT src, dst, min(et) AS et FROM efa GROUP BY src, dst)
+SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree
+FROM ef WHERE et = 'click' GROUP BY src
 """,
         **_pipeline_oracles(),
     }

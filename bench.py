@@ -1,12 +1,23 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints ONE COMPACT JSON line.
 
 Headline numbers (BASELINE.md protocol):
 * PageRank edges/sec/iteration and triangles/sec on a deterministic
-  corpus-derived link graph sized by the scale factor, measured at TWO
-  parallelism levels (local[8] and local[32]) on identical input —
-  the in-sandbox proxy for the north rule's N vs 4N executor scaling;
-  efficiency = (T32/T8)/4, target ≥ 0.8.
+  corpus-derived link graph sized by the scale factor, measured as the
+  SAME job at N and 4N cores on identical cached input — the
+  in-sandbox proxy for the north rule's N vs 4N executor scaling;
+  efficiency = (T_4N/T_N)/4, target ≥ 0.8. Every 4× pair is reported
+  (1→4, 2→8, 8→32); the HEADLINE pair is 2→8 with medians-of-3 fresh
+  processes per level, because on a single box all cores share one
+  DRAM bus and PageRank's E-sized shuffle saturates it at high core
+  counts (real 4N executors bring 4N memory channels — see
+  BENCH/BASELINE.md + BENCH/DECOMPOSITION.md for the measured
+  fixed-overhead decomposition backing this choice).
 * Per-query seconds for the driver-testdata queries at local[32].
+
+The final printed line is kept under ~1,700 characters (the driver
+parses only the tail of stdout); full per-run detail — repeat samples,
+spread, Spark conf, per-level suite dicts — is written to
+``BENCH/bench_full_latest.json`` instead of printed.
 
 Usage: python bench.py            # $SPARK_GRAFT_SF_DIR, default sf0.1
 Env: SPARK_GRAFT_BENCH_FILES overrides the synthetic corpus size.
@@ -202,12 +213,18 @@ def run_graph_suite(
             csr_secs.append(time.time() - t0)
         csr_sec = min(csr_secs)
         best = min(tri_sec, csr_sec)
+        # per-method throughputs reported alongside best-of: the N vs 4N
+        # scaling claim must compare the SAME physical plan at both
+        # levels (join vs join, csr vs csr) — best-of could silently
+        # switch plans between levels and fake (or hide) scaling
         out.update(
             {
                 "triangles": int(triangles),
                 "triangle_sec": tri_sec,
                 "triangle_csr_sec": csr_sec,
                 "triangles_per_sec": triangles / best if best > 0 else 0.0,
+                "triangles_join_per_sec": triangles / tri_sec if tri_sec > 0 else 0.0,
+                "triangles_csr_per_sec": triangles / csr_sec if csr_sec > 0 else 0.0,
             }
         )
     edges.unpersist()
@@ -305,7 +322,8 @@ def main():
         for r in runs:
             for key in (
                 "triangles", "triangle_sec", "triangle_csr_sec",
-                "triangles_per_sec",
+                "triangles_per_sec", "triangles_join_per_sec",
+                "triangles_csr_per_sec",
                 "pagerank_gather_sec", "pagerank_gather_median_step_sec",
                 "pagerank_gather_edges_per_sec_iter",
             ):
@@ -351,6 +369,37 @@ def main():
         },
         **q,
     }
+    throughput = {
+        **{
+            f"pagerank_edges_per_sec_iter_local{c}": round(
+                suite[c]["pagerank_edges_per_sec_iter"], 1
+            )
+            for c in suite
+        },
+        **{
+            f"triangles_per_sec_local{c}": round(suite[c]["triangles_per_sec"], 1)
+            for c in suite
+            if "triangles_per_sec" in suite[c]
+        },
+        **{
+            f"pagerank_gather_edges_per_sec_iter_local{c}": round(
+                suite[c]["pagerank_gather_edges_per_sec_iter"], 1
+            )
+            for c in suite
+            if "pagerank_gather_edges_per_sec_iter" in suite[c]
+        },
+        "scaling_efficiency_pagerank_1_to_4": eff("pagerank_edges_per_sec_iter", 1, 4),
+        "scaling_efficiency_pagerank_2_to_8": eff("pagerank_edges_per_sec_iter", 2, 8),
+        "scaling_efficiency_pagerank_8_to_32": eff("pagerank_edges_per_sec_iter", 8, 32),
+        # same-plan scaling only: join vs join, csr vs csr (best-of is
+        # a throughput headline, never a scaling denominator)
+        "scaling_efficiency_triangles_join_8_to_32": eff("triangles_join_per_sec", 8, 32),
+        "scaling_efficiency_triangles_csr_8_to_32": eff("triangles_csr_per_sec", 8, 32),
+        # north-rule evidence: same job, same input, N vs 4N cores,
+        # medians-of-3 at both levels (see REPEATS above)
+        "scaling_headline_pair": "local2_to_local8",
+        "scaling_efficiency_headline": eff("pagerank_edges_per_sec_iter", 2, 8),
+    }
     out = {
         "metric": "pagerank_edges_per_sec_per_iteration",
         "value": round(
@@ -368,40 +417,38 @@ def main():
             "n_files": n_files,
             "triangles": suite[32]["triangles"],
         },
-        "throughput": {
-            **{
-                f"pagerank_edges_per_sec_iter_local{c}": round(
-                    suite[c]["pagerank_edges_per_sec_iter"], 1
-                )
-                for c in suite
-            },
-            **{
-                f"triangles_per_sec_local{c}": round(suite[c]["triangles_per_sec"], 1)
-                for c in suite
-                if "triangles_per_sec" in suite[c]
-            },
-            **{
-                f"pagerank_gather_edges_per_sec_iter_local{c}": round(
-                    suite[c]["pagerank_gather_edges_per_sec_iter"], 1
-                )
-                for c in suite
-                if "pagerank_gather_edges_per_sec_iter" in suite[c]
-            },
-            "scaling_efficiency_pagerank_1_to_4": eff("pagerank_edges_per_sec_iter", 1, 4),
-            "scaling_efficiency_pagerank_2_to_8": eff("pagerank_edges_per_sec_iter", 2, 8),
-            "scaling_efficiency_pagerank_8_to_32": eff("pagerank_edges_per_sec_iter", 8, 32),
-            "scaling_efficiency_triangles_8_to_32": eff("triangles_per_sec", 8, 32),
-            # north-rule evidence: same job, same input, N vs 4N cores,
-            # medians-of-3 at both levels (see REPEATS above)
-            "scaling_headline_pair": "local2_to_local8",
-            "scaling_efficiency_headline": eff("pagerank_edges_per_sec_iter", 2, 8),
-            "repeat_spread": spread,
-        },
-        "conf": CONF_NOTE,
+        "throughput": throughput,
         "total_bench_sec": round(time.time() - total_t0, 1),
         **results,
     }
-    print(json.dumps(out))
+    # Full detail (repeat samples + spread, Spark conf, raw per-level
+    # suite dicts) goes to a FILE — round 2's printed line grew past
+    # the driver's 2,000-char stdout tail and the headline metric was
+    # never machine-read. The printed line stays compact and guarded.
+    full = {
+        **out,
+        "repeat_spread": spread,
+        "conf": CONF_NOTE,
+        "suite_raw": {f"local{c}": suite[c] for c in suite},
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    # hard guard: degrade gracefully rather than ever print >1,700 chars
+    if len(line) > 1700:
+        out.pop("graph", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1700:
+        out["queries"] = {
+            k: v
+            for k, v in out["queries"].items()
+            if not k.startswith(("triangles_local", "triangles_csr_local",
+                                 "pagerank_gather_"))
+        }
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 def suite_main(cores: int, edges_path: str, do_triangles: bool, do_gather: bool):

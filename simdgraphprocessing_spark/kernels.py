@@ -81,6 +81,45 @@ def choose_layout(cardinality: int, universe: int) -> str:
         return "array"
     return "bitset" if cardinality / universe > BITSET_DENSITY else "array"
 
+def repackage(a: np.ndarray, universe: int) -> tuple[str, np.ndarray]:
+    """Re-encode an INTERMEDIATE result by its own density — the
+    reference's ``repackage`` (``src/set/ops/repackage.hpp:6-79``):
+    after an intersection/union the result's density, not the inputs',
+    decides its layout. Returns ``("bitset", packed_words)`` or
+    ``("array", a)`` unchanged."""
+    if choose_layout(len(a), universe) == "bitset":
+        return "bitset", to_bitmap(a, universe)
+    return "array", a
+
+
+def intersect_chain(sets: list[np.ndarray], universe: int) -> np.ndarray:
+    """Left-fold intersection of k sorted sets with per-step
+    ``repackage`` — the reference's n-clique candidate narrowing
+    (``apps/n_clique.cpp`` repeatedly intersects a shrinking candidate
+    set against neighbor lists, re-encoding the running result each
+    step via ``repackage.hpp``). The running result flips to a packed
+    bitmap while dense (probe-per-element lookups, no merge) and back
+    to an array once it thins below ``BITSET_DENSITY``."""
+    if not sets:
+        return np.empty(0, dtype=np.int64)
+    tag, acc = repackage(np.asarray(sets[0], dtype=np.int64), universe)
+    for s in sets[1:]:
+        s = np.asarray(s, dtype=np.int64)
+        if tag == "bitset":
+            # uint-into-bitset probe, then the result (⊆ s) is an array
+            limit = len(acc) << 6
+            ss = s[s < limit]
+            hit = (
+                (acc[ss >> 6] >> (ss.astype(np.uint64) & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+            res = ss[hit]
+        else:
+            res = intersect(acc, s)
+        tag, acc = repackage(res, universe)
+    return from_bitmap(acc) if tag == "bitset" else acc
+
+
 def to_bitmap(a: np.ndarray, universe: int) -> np.ndarray:
     """Pack sorted ids into a uint64 word bitmap (bitset layout,
     ``src/set/layouts/bitset.hpp:65-96``)."""

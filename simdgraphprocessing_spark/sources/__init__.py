@@ -11,4 +11,5 @@ from simdgraphprocessing_spark.sources.testdata_graphs import (  # noqa: F401
     sparse_parts_edges,
     supplier_copurchase_edges,
     follow_edges,
+    follow_edges_attributed,
 )

@@ -78,6 +78,40 @@ def supplier_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def follow_edges_attributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED attributed variant of :func:`follow_edges`: each edge
+    carries ``et``, the lexicographically-smallest event_type that
+    produced it — the fixture for ``directedFromAttributeList``
+    (reference ``MutableGraph.hpp:724-892``: per-edge attrs aligned
+    with the directed out-neighbor lists). Deterministic: min() makes
+    the attribute independent of join order."""
+    ev = (
+        _load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.h") == F.col("a.h") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+            F.col("a.event_type").alias("et"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("src", "dst").agg(F.min("et").alias("et"))
+
+
 def follow_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED user graph from events: u → v if u was active in some
     (event_type, hour) and v in the same event_type the next hour.

@@ -68,3 +68,24 @@ def test_intersect_count_many():
     vals_b = np.array([2, 3, 4, 9], dtype=np.int64)
     out = kernels.intersect_count_many(offs, vals_a, offs_b, vals_b)
     assert out.tolist() == [2, 1, 0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(sorted_sets, min_size=1, max_size=5))
+def test_intersect_chain_repackage(sets):
+    # reference repackage.hpp: per-step re-encoding never changes the
+    # result — fold vs one-shot numpy reduce
+    expect = sets[0]
+    for s in sets[1:]:
+        expect = np.intersect1d(expect, s, assume_unique=True)
+    got = kernels.intersect_chain(sets, universe=5001)
+    assert got.tolist() == expect.tolist()
+
+
+def test_repackage_flips_layout_by_density():
+    dense = np.arange(0, 1000, 2, dtype=np.int64)   # 500/1000 ≫ 1/256
+    sparse = np.array([7, 901], dtype=np.int64)      # 2/1000 < 1/256
+    tag_d, packed = kernels.repackage(dense, 1000)
+    tag_s, arr = kernels.repackage(sparse, 1000)
+    assert tag_d == "bitset" and kernels.from_bitmap(packed).tolist() == dense.tolist()
+    assert tag_s == "array" and arr is sparse
