@@ -244,6 +244,7 @@ def run_testdata_queries(spark) -> dict:
         "connected_components",
         "similar_nodes",
         "minhash_lsh_pairs",
+        "minhash_direct_pairs",
         "simhash_near_pairs",
         "ann_topk_matmul",
         "dedup_exact",
