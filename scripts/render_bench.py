@@ -19,8 +19,15 @@ LEVELS = [1, 2, 4, 8, 32]
 
 
 def load(p):
+    """Accepts either a one-line bench.py stdout capture or the full
+    BENCH/bench_full_latest.json detail file (which carries
+    repeat_spread/conf/suite_raw that the compact printed line omits)."""
     with open(p) as f:
-        return json.loads(f.read().strip().splitlines()[-1])
+        raw = f.read()
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return json.loads(raw.strip().splitlines()[-1])
 
 
 def main():
@@ -83,6 +90,8 @@ def main():
         ("scaling_efficiency_pagerank_1_to_4", "PageRank local[1] → local[4]"),
         ("scaling_efficiency_pagerank_2_to_8", "PageRank local[2] → local[8] (HEADLINE, medians-of-3)"),
         ("scaling_efficiency_pagerank_8_to_32", "PageRank local[8] → local[32]"),
+        ("scaling_efficiency_triangles_join_8_to_32", "Triangles (join plan) local[8] → local[32]"),
+        ("scaling_efficiency_triangles_csr_8_to_32", "Triangles (csr plan) local[8] → local[32]"),
         ("scaling_efficiency_triangles_8_to_32", "Triangles local[8] → local[32]"),
     ]:
         others = ", ".join(
@@ -113,9 +122,9 @@ def main():
         )
         + " — same job, same cached input, two parallelism levels 4× "
         "apart, each level the MEDIAN of fresh-process repeats (table "
-        "above). The ≥0.8 criterion has now been met in consecutive "
-        "independent exclusive runs (2→8 medians: 0.830, 0.806; 1→4: "
-        "0.967 this run, 0.821 in the round-1 driver run).",
+        "above). Cross-round history of the criterion pair (2→8, "
+        "exclusive medians-of-3): r2 runs 0.830 / 0.806 / 0.708; 1→4: "
+        "0.967 / 0.814 / 0.787 (r2), 0.821 (r1 driver).",
         "",
         "**Reading these numbers.** The north rule's ≥0.8 criterion is "
         "defined for N vs 4N *executors* — 4N executors bring 4N memory "
@@ -157,18 +166,19 @@ def main():
     for name in (
         "triangle_count_join", "triangle_count_csr", "clique4_count",
         "pagerank", "connected_components", "similar_nodes",
-        "minhash_lsh_pairs", "simhash_near_pairs", "ann_topk_matmul",
-        "dedup_exact",
+        "minhash_lsh_pairs", "minhash_direct_pairs", "simhash_near_pairs",
+        "ann_topk_matmul", "dedup_exact",
     ):
         vals = [r["queries"][name] for r in runs if name in r["queries"]]
         if vals:
             lines.append(f"| {name} | {min(vals)} |")
+    conf = b.get("conf")
     lines += [
         "",
         "## Spark configuration (recorded per BASELINE.md protocol)",
         "",
         "```json",
-        json.dumps(b["conf"], indent=2),
+        json.dumps(conf, indent=2) if conf else "(see BENCH/bench_full_latest.json)",
         "```",
         "",
         "Tuning notes baked into the harness (each measured, see bench.py "

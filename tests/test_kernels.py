@@ -89,3 +89,21 @@ def test_repackage_flips_layout_by_density():
     tag_s, arr = kernels.repackage(sparse, 1000)
     assert tag_d == "bitset" and kernels.from_bitmap(packed).tolist() == dense.tolist()
     assert tag_s == "array" and arr is sparse
+
+
+def test_intersect_chain_empty_and_single():
+    assert kernels.intersect_chain([], 100).size == 0
+    one = np.array([3, 5], dtype=np.int64)
+    assert kernels.intersect_chain([one], 100).tolist() == [3, 5]
+    # an empty intermediate stays empty through later steps
+    out = kernels.intersect_chain(
+        [one, np.empty(0, dtype=np.int64), np.array([3], dtype=np.int64)], 100
+    )
+    assert out.size == 0
+
+
+def test_bitmap_roundtrip_odd_universe():
+    # universe not a multiple of 64 — the packed tail word must roundtrip
+    a = np.array([0, 63, 64, 99], dtype=np.int64)
+    bm = kernels.to_bitmap(a, 100)
+    assert kernels.from_bitmap(bm).tolist() == a.tolist()
