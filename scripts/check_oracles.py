@@ -54,6 +54,19 @@ def main():
                 status = f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
             elif len(a) != len(b):
                 status = f"ROWS {len(a)} vs {len(b)}"
+            elif [d.kind for d in a.dtypes] != [d.kind for d in b.dtypes]:
+                # dtype KIND mismatch (int vs float vs object) hash-fails
+                # on the driver even when values compare equal — DuckDB
+                # HUGEINT → float64 vs Spark int64 was round 2's one red
+                # row. Width differences (int32 vs int64) are fine: the
+                # round-2 driver hashed ann_topk green with Spark int32
+                # vs DuckDB int64.
+                bad = [
+                    f"{c}: {a[c].dtype} vs {b[c].dtype}"
+                    for c in a.columns
+                    if a[c].dtype.kind != b[c].dtype.kind
+                ]
+                status = f"DTYPE {bad}"
             else:
                 for col in a.columns:
                     for i, (x, y) in enumerate(zip(a[col].tolist(), b[col].tolist())):
