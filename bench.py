@@ -66,6 +66,29 @@ CONF_NOTE = {
 }
 
 
+def _read_cpu_stat() -> tuple[int, int, int]:
+    """(total, idle, steal) jiffies from /proc/stat line 1."""
+    parts = open("/proc/stat").readline().split()
+    vals = list(map(int, parts[1:]))
+    return sum(vals), vals[3], vals[7] if len(vals) > 7 else 0
+
+
+def _steal_pct(before, after) -> dict:
+    """Hypervisor steal + idle share over a measurement window.
+
+    This sandbox is an oversubscribed VM: measured steal reaches
+    15-20% of ALL cpu jiffies exactly when this job is busy (the
+    hypervisor throttles busy vCPUs), which moved identical queries
+    6.5s → 49.7s minutes apart in round 3. Recording the window's
+    steal share beside every number turns 'the run was degraded by
+    host contention' from speculation into a machine-readable fact."""
+    dt = max(after[0] - before[0], 1)
+    return {
+        "steal_pct": round(100.0 * (after[2] - before[2]) / dt, 2),
+        "idle_pct": round(100.0 * (after[1] - before[1]) / dt, 1),
+    }
+
+
 def _session(cores: int):
     from pyspark.sql import SparkSession
 
@@ -350,10 +373,24 @@ def main():
                 "rel_spread": round(
                     (max(samples) - min(samples)) / max(samples), 3
                 ),
+                "steal_pcts": [r.get("steal_pct") for r in runs],
             }
 
     # ---- driver-testdata queries, own process, after the suites
     q = _child(["--queries"])
+    q_steal = q.pop("queries_steal_pct", None)
+
+    # hypervisor noise per phase (see _steal_pct): the steal share of
+    # the median run at each level + the worst repeat, and the queries
+    # phase. >5% means the phase's absolute numbers are untrustworthy.
+    host_noise = {
+        **{
+            f"local{c}": suite[c].get("steal_pct")
+            for c in suite
+            if suite[c].get("steal_pct") is not None
+        },
+        "queries": q_steal,
+    }
 
     def eff(metric, lo, hi):
         return round((suite[hi][metric] / suite[lo][metric]) / (hi / lo), 3)
@@ -446,6 +483,7 @@ def main():
             "triangles": suite[32]["triangles"],
         },
         "throughput": throughput,
+        "host_steal_pct": host_noise,
         "total_bench_sec": round(time.time() - total_t0, 1),
         **results,
     }
@@ -481,9 +519,11 @@ def main():
 
 def suite_main(cores: int, edges_path: str, do_triangles: bool, do_gather: bool):
     """Child-process entrypoint (CPU-pinned by the parent)."""
+    c0 = _read_cpu_stat()
     spark = _session(cores)
     out = run_graph_suite(spark, edges_path, do_triangles, do_gather, cores_hint=cores)
     spark.stop()
+    out.update(_steal_pct(c0, _read_cpu_stat()))
     print(json.dumps(out))
 
 
@@ -495,9 +535,11 @@ def build_main(n_files: int):
 
 
 def queries_main():
+    c0 = _read_cpu_stat()
     spark = _session(32)
     out = run_testdata_queries(spark)
     spark.stop()
+    out["queries_steal_pct"] = _steal_pct(c0, _read_cpu_stat())["steal_pct"]
     print(json.dumps(out))
 
 
