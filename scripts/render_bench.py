@@ -99,19 +99,37 @@ def main():
         )
         if key in t:
             lines.append(f"| {label} | **{t[key]:.3f}** | {others or '—'} |")
-    spread = t.get("repeat_spread") or {}
+    spread = b.get("repeat_spread") or t.get("repeat_spread") or {}
     if spread:
         lines += [
             "",
             "Within-run repeat samples (fresh process each, PageRank "
-            "edges/sec/iter; the headline pair uses the MEDIAN of these):",
+            "edges/sec/iter; the headline pair uses the MEDIAN of these). "
+            "steal% = hypervisor steal share during that sample — the "
+            "sandbox VM is oversubscribed and steal spikes exactly when "
+            "the bench is busy (measured up to 16.5%, which moved "
+            "identical queries 6.5s → 49.7s minutes apart), so a sample "
+            "with high steal under-reports real throughput:",
             "",
-            "| level | samples | rel. spread |",
-            "|---|---|---|",
+            "| level | samples | rel. spread | steal% per sample |",
+            "|---|---|---|---|",
         ]
         for lvl, d in sorted(spread.items(), key=lambda kv: int(kv[0][5:])):
             samples = ", ".join(f"{v:,.0f}" for v in d["samples_edges_per_sec_iter"])
-            lines.append(f"| {lvl} | {samples} | {d['rel_spread']:.1%} |")
+            steals = ", ".join(
+                f"{v}" for v in d.get("steal_pcts", []) if v is not None
+            )
+            lines.append(
+                f"| {lvl} | {samples} | {d['rel_spread']:.1%} | {steals or '—'} |"
+            )
+    noise = b.get("host_steal_pct") or {}
+    if noise:
+        lines += [
+            "",
+            "Median-run hypervisor steal share per phase (>5% means that "
+            "phase's absolute numbers are depressed by host contention): "
+            + ", ".join(f"{k} {v}%" for k, v in noise.items() if v is not None),
+        ]
     headline_pair = t.get("scaling_headline_pair", "—")
     headline_eff = t.get("scaling_efficiency_headline")
     lines += [
@@ -150,11 +168,12 @@ def main():
         "## Headline metric",
         "",
         f"- **{b['metric']}**: {b['value']:,.0f} "
-        "(best strategy at local[32]; see breakdown above)",
+        "(peak across parallelism levels and strategies on this box; "
+        "see breakdown above)",
         f"- PageRank {b['pr_iters']} iterations wall: "
         f"{q.get('pagerank_5iter_local32')}s @32, "
         f"{q.get('pagerank_5iter_local8')}s @8, "
-        f"{q.get('pagerank_5iter_local1')}s @1",
+        f"{q.get('pagerank_5iter_local2')}s @2",
         f"- Triangle count wall: {q.get('triangles_local32')}s @32",
         "",
         "## Driver-testdata queries (sf=%s, local[32], seconds, best of "
