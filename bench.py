@@ -341,17 +341,215 @@ def main():
     # already recorded: 1→4 = 0.967/0.821/0.814); local[4] stays as a
     # cheap single-sample point on the per-core decay curve.
     REPEATS = {32: 3, 8: 3, 2: 3}
-    suite = {}
-    spread = {}
-    for cores in (32, 8, 4, 2):
-        runs = [
-            _pinned_suite(
-                cores, edges_path,
-                do_triangles=(cores in (8, 32)) and rep == 0,
-                do_gather=(cores == 32) and rep == 0,
+    # Soft wall budget: the harness that runs this per round may kill a
+    # long process, and a killed bench that has printed NOTHING loses
+    # the whole round's perf evidence (round 2 lost it to a too-long
+    # line; a timeout loses it the same way). Two defenses: (a) a
+    # cumulative compact line is printed after EVERY phase — whatever
+    # tail survives a kill is a complete, parseable snapshot; (b) when
+    # elapsed time crosses fractions of the budget, later repeats /
+    # levels are skipped (recorded in "truncated") instead of running
+    # the clock out. Ordering puts the must-have phases first:
+    # local[32] (headline value + triangles + gather), local[8]
+    # (completes the literal 8→32 pair), queries, local[2] (the 2→8
+    # pair), local[4] (decay-curve point only).
+    BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000"))
+    suite: dict = {}
+    spread: dict = {}
+    q: dict = {}
+    q_steal = None
+    truncated: list = []
+
+    def elapsed() -> float:
+        return time.time() - total_t0
+
+    def emit(partial: bool) -> None:
+        """Build + print the cumulative compact line and write the full
+        detail file. Defensive against missing levels/metrics so a
+        partial snapshot never crashes the emit."""
+
+        def eff(metric, lo, hi):
+            a, b = suite.get(lo, {}).get(metric), suite.get(hi, {}).get(metric)
+            if not a or not b:
+                return None
+            return round((b / a) / (hi / lo), 3)
+
+        queries = {
+            **{
+                f"pagerank_{PR_ITERS}iter_local{c}": round(s["pagerank_sec"], 3)
+                for c, s in suite.items()
+                if "pagerank_sec" in s
+            },
+            **{
+                f"pagerank_gather_{PR_ITERS}iter_local{c}": round(
+                    s["pagerank_gather_sec"], 3
+                )
+                for c, s in suite.items()
+                if "pagerank_gather_sec" in s
+            },
+            **{
+                f"triangles_local{c}": round(s["triangle_sec"], 3)
+                for c, s in suite.items()
+                if "triangle_sec" in s
+            },
+            **{
+                f"triangles_csr_local{c}": round(s["triangle_csr_sec"], 3)
+                for c, s in suite.items()
+                if "triangle_csr_sec" in s
+            },
+            **q,
+        }
+        throughput = {
+            **{
+                f"pagerank_edges_per_sec_iter_local{c}": round(
+                    s["pagerank_edges_per_sec_iter"], 1
+                )
+                for c, s in suite.items()
+                if "pagerank_edges_per_sec_iter" in s
+            },
+            **{
+                f"triangles_per_sec_local{c}": round(s["triangles_per_sec"], 1)
+                for c, s in suite.items()
+                if "triangles_per_sec" in s
+            },
+            **{
+                f"pagerank_gather_edges_per_sec_iter_local{c}": round(
+                    s["pagerank_gather_edges_per_sec_iter"], 1
+                )
+                for c, s in suite.items()
+                if "pagerank_gather_edges_per_sec_iter" in s
+            },
+        }
+        for key, lo, hi, metric in (
+            ("scaling_efficiency_pagerank_2_to_8", 2, 8, "pagerank_edges_per_sec_iter"),
+            ("scaling_efficiency_pagerank_8_to_32", 8, 32, "pagerank_edges_per_sec_iter"),
+            # same-plan scaling only: join vs join, csr vs csr (best-of
+            # is a throughput headline, never a scaling denominator)
+            ("scaling_efficiency_triangles_join_8_to_32", 8, 32, "triangles_join_per_sec"),
+            ("scaling_efficiency_triangles_csr_8_to_32", 8, 32, "triangles_csr_per_sec"),
+        ):
+            e = eff(metric, lo, hi)
+            if e is not None:
+                throughput[key] = e
+        # north-rule evidence: same job, same input, N vs 4N cores,
+        # medians-of-3 at BOTH levels of BOTH reported pairs (REPEATS).
+        # Headline = the better pair — the criterion is "≥0.8 between N
+        # and 4N", satisfied by any 4× pair; both are printed so
+        # nothing hides. 8→32 is the literal BASELINE.md pair (viable
+        # since the big graph amortizes fixed overhead); 2→8 is the
+        # low-contention pair that met 0.8 in rounds 1-2.
+        pairs = {
+            k: throughput[k]
+            for k in (
+                "scaling_efficiency_pagerank_2_to_8",
+                "scaling_efficiency_pagerank_8_to_32",
             )
-            for rep in range(REPEATS.get(cores, 1))
-        ]
+            if k in throughput
+        }
+        if pairs:
+            head = max(pairs, key=lambda k: pairs[k])
+            throughput["scaling_headline_pair"] = (
+                "local2_to_local8" if head.endswith("2_to_8") else "local8_to_local32"
+            )
+            throughput["scaling_efficiency_headline"] = pairs[head]
+        # headline value = PEAK measured throughput of the job across
+        # all levels and strategies on this box (not pinned to
+        # local[32]: at 32 threads one box's DRAM bus saturates and
+        # occasionally GC-walls; a real 32-core slice of a cluster
+        # brings its own memory channels)
+        peak = max(
+            (
+                max(
+                    s.get("pagerank_edges_per_sec_iter", 0.0),
+                    s.get("pagerank_gather_edges_per_sec_iter", 0.0),
+                )
+                for s in suite.values()
+            ),
+            default=0.0,
+        )
+        host_noise = {
+            **{
+                f"local{c}": s.get("steal_pct")
+                for c, s in suite.items()
+                if s.get("steal_pct") is not None
+            },
+            **({"queries": q_steal} if q_steal is not None else {}),
+        }
+        any_level = next(iter(suite.values()), {})
+        out = {
+            "metric": "pagerank_edges_per_sec_per_iteration",
+            "value": round(peak, 1),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF,
+            "graph": {
+                "edge_rows": any_level.get("edge_rows"),
+                "n_files": n_files,
+                "triangles": suite.get(32, {}).get("triangles"),
+            },
+            "throughput": throughput,
+            "host_steal_pct": host_noise,
+            "total_bench_sec": round(elapsed(), 1),
+            **results,
+        }
+        if partial:
+            out["partial"] = True
+        if truncated:
+            out["truncated"] = truncated
+        # Full detail (repeat samples + spread, Spark conf, raw
+        # per-level suite dicts) goes to a FILE — round 2's printed
+        # line grew past the driver's 2,000-char stdout tail and the
+        # headline metric was never machine-read. The printed line
+        # stays compact and guarded.
+        full = {
+            **out,
+            "repeat_spread": spread,
+            "conf": CONF_NOTE,
+            "suite_raw": {f"local{c}": suite[c] for c in suite},
+        }
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+        line = json.dumps(out, separators=(",", ":"))
+        # hard guard: degrade gracefully, never print >1,700 chars
+        if len(line) > 1700:
+            out.pop("graph", None)
+            line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1700:
+            out["queries"] = {
+                k: v
+                for k, v in out["queries"].items()
+                if not k.startswith(("triangles_local", "triangles_csr_local",
+                                     "pagerank_gather_"))
+            }
+            line = json.dumps(out, separators=(",", ":"))
+        print(line, flush=True)
+
+    for cores in (32, 8, "queries", 2, 4):
+        if cores == "queries":
+            # ---- driver-testdata queries, own pristine process,
+            # before the low-core levels: if the budget dies first, the
+            # per-query numbers must already be on the wire
+            q = _child(["--queries"])
+            q_steal = q.pop("queries_steal_pct", None)
+            emit(partial=True)
+            continue
+        if cores == 4 and elapsed() > 0.85 * BUDGET:
+            truncated.append("local4_skipped")
+            continue
+        runs = []
+        for rep in range(REPEATS.get(cores, 1)):
+            if rep > 0 and elapsed() > 0.7 * BUDGET:
+                truncated.append(f"local{cores}_reps_{rep}_of_{REPEATS[cores]}")
+                break
+            runs.append(
+                _pinned_suite(
+                    cores, edges_path,
+                    do_triangles=(cores in (8, 32)) and rep == 0,
+                    do_gather=(cores == 32) and rep == 0,
+                )
+            )
         runs.sort(key=lambda r: r["pagerank_edges_per_sec_iter"])
         med = runs[len(runs) // 2]
         # triangles/gather only measured on the first repeat — carry over
@@ -375,146 +573,10 @@ def main():
                 ),
                 "steal_pcts": [r.get("steal_pct") for r in runs],
             }
+        emit(partial=True)
 
-    # ---- driver-testdata queries, own process, after the suites
-    q = _child(["--queries"])
-    q_steal = q.pop("queries_steal_pct", None)
-
-    # hypervisor noise per phase (see _steal_pct): the steal share of
-    # the median run at each level + the worst repeat, and the queries
-    # phase. >5% means the phase's absolute numbers are untrustworthy.
-    host_noise = {
-        **{
-            f"local{c}": suite[c].get("steal_pct")
-            for c in suite
-            if suite[c].get("steal_pct") is not None
-        },
-        "queries": q_steal,
-    }
-
-    def eff(metric, lo, hi):
-        return round((suite[hi][metric] / suite[lo][metric]) / (hi / lo), 3)
-
-    queries = {
-        **{
-            f"pagerank_{PR_ITERS}iter_local{c}": round(suite[c]["pagerank_sec"], 3)
-            for c in suite
-        },
-        **{
-            f"pagerank_gather_{PR_ITERS}iter_local{c}": round(
-                suite[c]["pagerank_gather_sec"], 3
-            )
-            for c in suite
-            if "pagerank_gather_sec" in suite[c]
-        },
-        **{
-            f"triangles_local{c}": round(suite[c]["triangle_sec"], 3)
-            for c in suite
-            if "triangle_sec" in suite[c]
-        },
-        **{
-            f"triangles_csr_local{c}": round(suite[c]["triangle_csr_sec"], 3)
-            for c in suite
-            if "triangle_csr_sec" in suite[c]
-        },
-        **q,
-    }
-    throughput = {
-        **{
-            f"pagerank_edges_per_sec_iter_local{c}": round(
-                suite[c]["pagerank_edges_per_sec_iter"], 1
-            )
-            for c in suite
-        },
-        **{
-            f"triangles_per_sec_local{c}": round(suite[c]["triangles_per_sec"], 1)
-            for c in suite
-            if "triangles_per_sec" in suite[c]
-        },
-        **{
-            f"pagerank_gather_edges_per_sec_iter_local{c}": round(
-                suite[c]["pagerank_gather_edges_per_sec_iter"], 1
-            )
-            for c in suite
-            if "pagerank_gather_edges_per_sec_iter" in suite[c]
-        },
-        "scaling_efficiency_pagerank_2_to_8": eff("pagerank_edges_per_sec_iter", 2, 8),
-        "scaling_efficiency_pagerank_8_to_32": eff("pagerank_edges_per_sec_iter", 8, 32),
-        # same-plan scaling only: join vs join, csr vs csr (best-of is
-        # a throughput headline, never a scaling denominator)
-        "scaling_efficiency_triangles_join_8_to_32": eff("triangles_join_per_sec", 8, 32),
-        "scaling_efficiency_triangles_csr_8_to_32": eff("triangles_csr_per_sec", 8, 32),
-    }
-    # north-rule evidence: same job, same input, N vs 4N cores,
-    # medians-of-3 at BOTH levels of BOTH reported pairs (see REPEATS).
-    # Headline = the better pair — the criterion is "≥0.8 between N
-    # and 4N", satisfied by any 4× pair; both are printed so nothing
-    # hides. 8→32 is the literal BASELINE.md pair (viable since the
-    # big graph amortizes fixed overhead); 2→8 is the low-contention
-    # pair that met 0.8 in rounds 1-2.
-    pairs = {
-        "local2_to_local8": throughput["scaling_efficiency_pagerank_2_to_8"],
-        "local8_to_local32": throughput["scaling_efficiency_pagerank_8_to_32"],
-    }
-    head_pair = max(pairs, key=lambda k: pairs[k])
-    throughput["scaling_headline_pair"] = head_pair
-    throughput["scaling_efficiency_headline"] = pairs[head_pair]
-    # headline value = PEAK measured throughput of the job across all
-    # levels and strategies on this box (not pinned to local[32]: at 32
-    # threads one box's DRAM bus saturates and occasionally GC-walls —
-    # the peak is usually local[8]; a real 32-core slice of a cluster
-    # brings its own memory channels)
-    peak = max(
-        max(
-            s["pagerank_edges_per_sec_iter"],
-            s.get("pagerank_gather_edges_per_sec_iter", 0.0),
-        )
-        for s in suite.values()
-    )
-    out = {
-        "metric": "pagerank_edges_per_sec_per_iteration",
-        "value": round(peak, 1),
-        "unit": "sec",
-        "queries": queries,
-        "sf": SF,
-        "graph": {
-            "edge_rows": suite[32]["edge_rows"],
-            "n_files": n_files,
-            "triangles": suite[32]["triangles"],
-        },
-        "throughput": throughput,
-        "host_steal_pct": host_noise,
-        "total_bench_sec": round(time.time() - total_t0, 1),
-        **results,
-    }
-    # Full detail (repeat samples + spread, Spark conf, raw per-level
-    # suite dicts) goes to a FILE — round 2's printed line grew past
-    # the driver's 2,000-char stdout tail and the headline metric was
-    # never machine-read. The printed line stays compact and guarded.
-    full = {
-        **out,
-        "repeat_spread": spread,
-        "conf": CONF_NOTE,
-        "suite_raw": {f"local{c}": suite[c] for c in suite},
-    }
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "bench_full_latest.json"), "w") as fh:
-        json.dump(full, fh, indent=1)
-    line = json.dumps(out, separators=(",", ":"))
-    # hard guard: degrade gracefully rather than ever print >1,700 chars
-    if len(line) > 1700:
-        out.pop("graph", None)
-        line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1700:
-        out["queries"] = {
-            k: v
-            for k, v in out["queries"].items()
-            if not k.startswith(("triangles_local", "triangles_csr_local",
-                                 "pagerank_gather_"))
-        }
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    # final complete line (identical content, partial flag dropped)
+    emit(partial=False)
 
 
 def suite_main(cores: int, edges_path: str, do_triangles: bool, do_gather: bool):
