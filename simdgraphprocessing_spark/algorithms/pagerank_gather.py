@@ -27,13 +27,17 @@ shuffle-join implementation, whose per-superstep state never
 concentrates anywhere. The cutover is the same decision Spark itself
 makes between broadcast-hash and shuffle joins.
 
-MEASURED (38M-edge bench graph, 12g heap): shuffle-join path 13.9M
-edges/s/iter at local[32] vs 5.2M here — every superstep must stream
-all E rows JVM→Arrow→Python and serially collect the V-row result,
-which caps this path on one box. It remains the right shape when the
-per-edge work is heavy enough to amortize the transfer (attributed
-gathers, multi-vector state) and is the library's reference
-implementation of the broadcast-strategy superstep.
+MEASURED (38M-edge bench graph, 24g heap, round 3): **37.2M
+edges/s/iter at local[32]** (~1.0s/superstep) — 2.7× the shuffle-join
+path's best-ever local[32] reading (13.2M), measured even under 15.9%
+recorded hypervisor steal (BENCH/bench_full_r3_run3.json). The
+round-3 Arrow-native collect (``toArrow``, no pandas row objects)
+removed what an earlier pandas-path measurement made look like a
+JVM→Python transfer cap; with the dst-range-partitioned edges cached,
+a superstep is one in-memory Arrow scan + numpy bincount per
+partition plus a V-row Arrow collect. On one box this is now the
+FASTER strategy whenever the dense-id/V-bound preconditions above
+hold; the shuffle-join path remains the unbounded-scale default.
 """
 
 from __future__ import annotations
