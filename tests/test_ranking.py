@@ -35,3 +35,49 @@ def test_global_row_number_no_single_partition_exchange(spark):
         df, [F.col("k").asc(), F.col("id").asc()], out_col="r"
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_eager_mode_leaks_no_session_caches(spark):
+    """ADVICE r2: _RANK_CACHES pinned a V-sized persisted DataFrame per
+    call for the whole session. eager=True (the default) must leave the
+    registry empty and must not grow executor storage call over call."""
+    import gc
+    import time
+
+    from simdgraphprocessing_spark.functions import ranking
+
+    ranking.release_rank_caches()
+    df = spark.range(5_000).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    counts = []
+    for _ in range(4):
+        out = global_row_number(df, [F.col("k").asc(), F.col("id").asc()])
+        out.count()
+        assert ranking._RANK_CACHES == []  # nothing registered in eager mode
+        del out
+        gc.collect()
+        counts.append(_n_persistent(spark))
+    # the localCheckpoint blocks of dropped results are reclaimed by the
+    # async ContextCleaner — allow it a moment, then require that four
+    # calls did NOT accumulate four inputs + four checkpoints
+    deadline = time.time() + 15
+    while _n_persistent(spark) > 2 and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+    assert _n_persistent(spark) <= 2, (counts, _n_persistent(spark))
+
+
+def test_lazy_mode_registers_and_release_unpersists(spark):
+    from simdgraphprocessing_spark.functions import ranking
+
+    ranking.release_rank_caches()
+    df = spark.range(1_000)
+    out = global_row_number(df, [F.col("id").asc()], eager=False)
+    out.count()
+    assert len(ranking._RANK_CACHES) == 1
+    assert ranking.release_rank_caches() == 1
+    assert ranking._RANK_CACHES == []
