@@ -132,7 +132,9 @@ def main():
         ]
     import glob
 
-    pair_files = sorted(glob.glob("BENCH/pair_*_latest.json"))
+    pair_files = sorted(
+        glob.glob("BENCH/pair_*_latest.json") + glob.glob("BENCH/pair_*_attempt*.json")
+    )
     if pair_files:
         lines += [
             "",
@@ -208,8 +210,8 @@ def main():
         "arbitrary phases; identical queries moved 6.5s → 49.7s minutes "
         "apart. A steal burst at level N inflates a pair's efficiency, "
         "one at 4N deflates it — hence the cross-run scatter (2→8: "
-        "0.83/0.81/0.78/0.60/0.54/0.52 across rounds 2-3; 8→32: "
-        "0.79/0.20/0.06). Steal is also a lower bound on contention: "
+        "0.83/0.81/0.78/0.74/0.60/0.54/0.52 across rounds 2-3; 8→32: "
+        "0.79/0.22/0.20/0.06). Steal is also a lower bound on contention: "
         "on round 3's busy nights even low-steal samples ran at ~50% "
         "of round-2 throughput at the same level on the same input "
         "(local[8]: 4.1M vs 7.9M e/s/iter) — co-tenant memory-bandwidth "
