@@ -46,7 +46,9 @@ def test_compact_line_stays_under_driver_tail_buffer():
     }
     queries.update({f"triangles_local{c}": 1234.567 for c in (32, 8)})
     queries.update({f"triangles_csr_local{c}": 1234.567 for c in (32, 8)})
-    queries.update({"pagerank_gather_5iter_local32": 12345.678})
+    queries.update(
+        {f"pagerank_gather_5iter_local{c}": 12345.678 for c in (32, 8)}
+    )
     queries.update(
         {
             name: 123.456
@@ -61,12 +63,16 @@ def test_compact_line_stays_under_driver_tail_buffer():
     throughput = {
         **{f"pagerank_edges_per_sec_iter_local{c}": 12345678.9 for c in (32, 8, 4, 2)},
         **{f"triangles_per_sec_local{c}": 123456.7 for c in (32, 8)},
-        "pagerank_gather_edges_per_sec_iter_local32": 12345678.9,
+        **{
+            f"pagerank_gather_edges_per_sec_iter_local{c}": 12345678.9
+            for c in (32, 8)
+        },
         "scaling_efficiency_pagerank_2_to_8": 0.888,
         "scaling_efficiency_pagerank_8_to_32": 0.888,
+        "scaling_efficiency_gather_8_to_32": 0.888,
         "scaling_efficiency_triangles_join_8_to_32": 0.888,
         "scaling_efficiency_triangles_csr_8_to_32": 0.888,
-        "scaling_headline_pair": "local8_to_local32",
+        "scaling_headline_pair": "local8_to_local32_gather",
         "scaling_efficiency_headline": 0.888,
     }
     out = {
