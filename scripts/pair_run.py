@@ -9,18 +9,19 @@ steal bursts usually contaminate at least one phase — a 15-minute
 focused pair run is far likelier to land inside a quiet window, and
 when it doesn't, the recorded per-sample steal says so.
 
+Since round 4 every pair reports TWO estimators from the same samples
+(BASELINE.md protocol): ``scaling_efficiency`` from per-level MEDIAN
+superstep throughput (sustained), and ``scaling_efficiency_minwall``
+from each level's fastest single superstep across all repeats
+(uncontended capability). ``pass_dual`` is true only when both clear
+0.8 in the same run — a steal burst can depress one level's median,
+but it cannot manufacture a fast superstep at the other level.
+
 Usage: python scripts/pair_run.py [lo] [hi] [repeats] [n_files] [strategy]
        (defaults: 2 8 3 2000000 shuffle; strategy ∈ {shuffle, gather})
 Writes BENCH/pair_<lo>_<hi>_<strategy>_latest.json with full samples
-(shuffle keeps the legacy pair_<lo>_<hi>_latest.json name).
-
-The ``gather`` strategy measures the SAME PageRank job executed by the
-broadcast-gather physical plan (algorithms/pagerank_gather.py): edges
-stay dst-range-partitioned and cached, each superstep is an
-embarrassingly-parallel Arrow scan + numpy bincount with NO shuffle —
-the plan that peaked at 37.2M edges/s/iter at local[32]. Because it
-moves no E-sized shuffle through the shared DRAM bus, it is the
-natural plan for demonstrating N→4N core scaling on one box.
+(shuffle keeps the legacy pair_<lo>_<hi>_latest.json name). The BENCH
+dir is anchored to the repo root (bench.__file__), not the CWD.
 """
 
 from __future__ import annotations
@@ -66,6 +67,9 @@ def main():
         if strategy == "shuffle"
         else "pagerank_gather_median_step_sec"
     )
+    walls_key = (
+        "pagerank_step_walls" if strategy == "shuffle" else "pagerank_gather_step_walls"
+    )
 
     t0 = time.time()
     b = child(["--build", str(n_files)])
@@ -78,18 +82,16 @@ def main():
                    "1" if strategy == "gather" else "0"])
             for _ in range(repeats)
         ]
-        runs.sort(key=lambda r: r[metric])
-        med = runs[len(runs) // 2]
+        med = bench.pick_median(runs, metric)
+        min_walls = [round(min(r[walls_key]), 3) for r in runs]
+        edge_rows = med["edge_rows"]
         levels[cores] = {
             "median_edges_per_sec_iter": round(med[metric], 1),
+            "minwall_edges_per_sec_iter": round(edge_rows / min(min_walls), 1),
             "samples_edges_per_sec_iter": [round(r[metric], 1) for r in runs],
             "steal_pcts": [r.get("steal_pct") for r in runs],
             "median_step_walls": [round(r[step_key], 3) for r in runs],
-            "min_step_walls": [
-                round(min(r["pagerank_step_walls"]), 3) for r in runs
-            ]
-            if strategy == "shuffle"
-            else None,
+            "min_step_walls": min_walls,
         }
 
     eff = round(
@@ -97,10 +99,17 @@ def main():
         / (hi / lo),
         3,
     )
+    eff_minwall = round(
+        (levels[hi]["minwall_edges_per_sec_iter"] / levels[lo]["minwall_edges_per_sec_iter"])
+        / (hi / lo),
+        3,
+    )
     out = {
         "pair": f"local{lo}_to_local{hi}",
         "strategy": strategy,
         "scaling_efficiency": eff,
+        "scaling_efficiency_minwall": eff_minwall,
+        "pass_dual": bool(eff >= 0.8 and eff_minwall >= 0.8),
         "repeats": repeats,
         "n_files": n_files,
         "levels": {f"local{c}": levels[c] for c in levels},
@@ -110,9 +119,13 @@ def main():
         ),
         "wall_sec": round(time.time() - t0, 1),
     }
-    os.makedirs("BENCH", exist_ok=True)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     suffix = "" if strategy == "shuffle" else f"_{strategy}"
-    with open(f"BENCH/pair_{lo}_{hi}{suffix}_latest.json", "w") as fh:
+    size_tag = "" if n_files == 2_000_000 else f"_n{n_files}"
+    with open(
+        os.path.join(bench_dir, f"pair_{lo}_{hi}{suffix}{size_tag}_latest.json"), "w"
+    ) as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, separators=(",", ":")))
 

@@ -2,8 +2,10 @@
 
 Round 2's headline metric never reached the scoreboard because the
 printed JSON line outgrew the driver's 2,000-char stdout tail — these
-tests pin the output contract (one line, parseable, bounded) and the
-steal-share instrumentation without starting a JVM.
+tests pin the output contract (one line, parseable, bounded) by
+exercising bench.py's REAL line guard (``assemble_line``), headline
+selection (``scaling_summary``) and median rule (``pick_median``),
+plus the steal-share instrumentation, without starting a JVM.
 """
 
 from __future__ import annotations
@@ -37,13 +39,9 @@ def test_read_cpu_stat_shape():
     assert total > 0 and 0 <= idle <= total and 0 <= steal <= total
 
 
-def test_compact_line_stays_under_driver_tail_buffer():
-    """The driver machine-reads only the LAST ~2,000 chars of bench
-    stdout; the printed line must stay under 1,700 chars even with
-    every optional field populated (pessimistic synthetic payload)."""
-    queries = {
-        f"pagerank_5iter_local{c}": 12345.678 for c in (32, 8, 4, 2)
-    }
+def _pessimistic_out() -> dict:
+    """Every optional field populated with worst-case widths."""
+    queries = {f"pagerank_5iter_local{c}": 12345.678 for c in (32, 8, 2)}
     queries.update({f"triangles_local{c}": 1234.567 for c in (32, 8)})
     queries.update({f"triangles_csr_local{c}": 1234.567 for c in (32, 8)})
     queries.update(
@@ -61,21 +59,23 @@ def test_compact_line_stays_under_driver_tail_buffer():
         }
     )
     throughput = {
-        **{f"pagerank_edges_per_sec_iter_local{c}": 12345678.9 for c in (32, 8, 4, 2)},
+        **{f"pagerank_edges_per_sec_iter_local{c}": 12345678.9 for c in (32, 8, 2)},
+        **{f"pagerank_edges_per_sec_iter_min_local{c}": 12345678.9 for c in (32, 8, 2)},
         **{f"triangles_per_sec_local{c}": 123456.7 for c in (32, 8)},
         **{
             f"pagerank_gather_edges_per_sec_iter_local{c}": 12345678.9
             for c in (32, 8)
         },
         "scaling_efficiency_pagerank_2_to_8": 0.888,
+        "scaling_efficiency_pagerank_2_to_8_minwall": 0.888,
         "scaling_efficiency_pagerank_8_to_32": 0.888,
+        "scaling_efficiency_pagerank_8_to_32_minwall": 0.888,
         "scaling_efficiency_gather_8_to_32": 0.888,
         "scaling_efficiency_triangles_join_8_to_32": 0.888,
         "scaling_efficiency_triangles_csr_8_to_32": 0.888,
-        "scaling_headline_pair": "local8_to_local32_gather",
-        "scaling_efficiency_headline": 0.888,
     }
-    out = {
+    throughput.update(bench.scaling_summary(throughput))
+    return {
         "metric": "pagerank_edges_per_sec_per_iteration",
         "value": 12345678.9,
         "unit": "sec",
@@ -84,14 +84,91 @@ def test_compact_line_stays_under_driver_tail_buffer():
         "graph": {"edge_rows": 38_269_442, "n_files": 2_000_000, "triangles": 297_934},
         "throughput": throughput,
         "host_steal_pct": {
-            **{f"local{c}": 12.34 for c in (32, 8, 4, 2)},
+            **{f"local{c}": 12.34 for c in (32, 8, 2)},
             "queries": 12.34,
         },
         "total_bench_sec": 3987.5,
         "bench_files": 2_000_000,
         "pr_iters": 5,
         "etl_sec": 344.62,
+        "partial": True,
+        "truncated": ["local2_reps_2_of_3"],
     }
-    line = json.dumps(out, separators=(",", ":"))
-    assert len(line) <= 1700, f"compact line is {len(line)} chars"
-    assert json.loads(line)["throughput"]["scaling_efficiency_headline"] == 0.888
+
+
+def test_compact_line_stays_under_driver_tail_buffer():
+    """The driver machine-reads only the LAST ~2,000 chars of bench
+    stdout; bench.assemble_line (the REAL guard emit() prints through)
+    must keep the fully-populated line under 1,700 chars."""
+    line = bench.assemble_line(_pessimistic_out())
+    assert len(line) <= bench.LINE_LIMIT, f"compact line is {len(line)} chars"
+    parsed = json.loads(line)
+    assert parsed["throughput"]["scaling_efficiency_headline"] == 0.888
+    assert parsed["throughput"]["scaling_efficiency_headline_minwall"] == 0.888
+    assert parsed["throughput"]["scaling_pass_dual"] is True
+
+
+def test_assemble_line_degrades_in_order():
+    """Oversized payload: first the graph dict is dropped, then the
+    per-level triangle/gather query entries — never an unparseable or
+    over-limit line, and the headline keys always survive."""
+    out = _pessimistic_out()
+    # inflate: a tiny limit forces both fallbacks
+    line = bench.assemble_line(out, limit=900)
+    parsed = json.loads(line)
+    assert "graph" not in parsed
+    assert not any(
+        k.startswith(("triangles_local", "triangles_csr_local", "pagerank_gather_"))
+        for k in parsed["queries"]
+    )
+    assert "scaling_efficiency_headline" in parsed["throughput"]
+    # driver queries survive the degradation
+    assert "triangle_count_csr" in parsed["queries"]
+    # original dict not mutated (emit() reuses it for the detail file)
+    assert "graph" in out and "triangles_local32" in out["queries"]
+
+
+def test_scaling_summary_dual_estimator_gate():
+    t = {
+        "scaling_efficiency_pagerank_2_to_8": 0.91,
+        "scaling_efficiency_pagerank_2_to_8_minwall": 0.55,
+        "scaling_efficiency_pagerank_8_to_32": 0.82,
+        "scaling_efficiency_pagerank_8_to_32_minwall": 0.84,
+        # gather must never drive the headline, however high
+        "scaling_efficiency_gather_8_to_32": 3.0,
+    }
+    s = bench.scaling_summary(t)
+    # 8→32 wins: its WORSE estimator (0.82) beats 2→8's worse (0.55)
+    assert s["scaling_headline_pair"] == "local8_to_local32"
+    assert s["scaling_efficiency_headline"] == 0.82
+    assert s["scaling_efficiency_headline_minwall"] == 0.84
+    assert s["scaling_pass_dual"] is True
+
+
+def test_scaling_summary_fails_on_single_lucky_estimator():
+    # round 3's failure mode: median passes, min-wall disagrees
+    t = {
+        "scaling_efficiency_pagerank_8_to_32": 0.911,
+        "scaling_efficiency_pagerank_8_to_32_minwall": 0.42,
+    }
+    s = bench.scaling_summary(t)
+    assert s["scaling_headline_pair"] == "local8_to_local32"
+    assert s["scaling_pass_dual"] is False
+
+
+def test_scaling_summary_empty_and_median_only():
+    assert bench.scaling_summary({}) == {}
+    s = bench.scaling_summary({"scaling_efficiency_pagerank_2_to_8": 0.85})
+    assert s["scaling_efficiency_headline"] == 0.85
+    assert s["scaling_pass_dual"] is False  # no min-wall evidence → no pass
+
+
+def test_pick_median_lower_middle_on_even_counts():
+    runs = [
+        {"pagerank_edges_per_sec_iter": v} for v in (9.0, 3.0, 7.0)
+    ]
+    assert bench.pick_median(runs)["pagerank_edges_per_sec_iter"] == 7.0
+    # truncated 2-sample level: must report the SLOWER sample, not the
+    # faster one dressed up as a median
+    runs2 = [{"pagerank_edges_per_sec_iter": v} for v in (9.0, 3.0)]
+    assert bench.pick_median(runs2)["pagerank_edges_per_sec_iter"] == 3.0
