@@ -11,11 +11,17 @@ pair, plus cross-run noise.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
 
 LEVELS = [1, 2, 4, 8, 32]
+# anchor to the repo root (this file lives in scripts/) — running from
+# any CWD must read/write the same BENCH/ the bench harness uses
+BENCH_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
+)
 
 
 def load(p):
@@ -88,8 +94,11 @@ def main():
     ]
     for key, label in [
         ("scaling_efficiency_pagerank_1_to_4", "PageRank local[1] → local[4]"),
-        ("scaling_efficiency_pagerank_2_to_8", "PageRank local[2] → local[8] (HEADLINE, medians-of-3)"),
-        ("scaling_efficiency_pagerank_8_to_32", "PageRank local[8] → local[32]"),
+        ("scaling_efficiency_pagerank_2_to_8", "PageRank local[2] → local[8] (median)"),
+        ("scaling_efficiency_pagerank_2_to_8_minwall", "PageRank local[2] → local[8] (min-wall)"),
+        ("scaling_efficiency_pagerank_8_to_32", "PageRank local[8] → local[32] (median)"),
+        ("scaling_efficiency_pagerank_8_to_32_minwall", "PageRank local[8] → local[32] (min-wall)"),
+        ("scaling_efficiency_gather_8_to_32", "PageRank gather plan 8 → 32 (informational, 1 sample/level)"),
         ("scaling_efficiency_triangles_join_8_to_32", "Triangles (join plan) local[8] → local[32]"),
         ("scaling_efficiency_triangles_csr_8_to_32", "Triangles (csr plan) local[8] → local[32]"),
         ("scaling_efficiency_triangles_8_to_32", "Triangles local[8] → local[32]"),
@@ -130,10 +139,9 @@ def main():
             "phase's absolute numbers are depressed by host contention): "
             + ", ".join(f"{k} {v}%" for k, v in noise.items() if v is not None),
         ]
-    import glob
-
     pair_files = sorted(
-        glob.glob("BENCH/pair_*_latest.json") + glob.glob("BENCH/pair_*_attempt*.json")
+        glob.glob(os.path.join(BENCH_DIR, "pair_*_latest.json"))
+        + glob.glob(os.path.join(BENCH_DIR, "pair_*_attempt*.json"))
     )
     if pair_files:
         lines += [
@@ -141,10 +149,14 @@ def main():
             "Focused pair runs (`scripts/pair_run.py` — one 4× pair, "
             "PR-only, medians-of-K fresh processes, ~15 min instead of a "
             "~60-min full bench, so far likelier to land inside a quiet "
-            "hypervisor window; per-sample steal recorded):",
+            "hypervisor window; per-sample steal recorded). `min-wall "
+            "eff` = efficiency from each level's fastest single "
+            "superstep across all repeats (uncontended capability); "
+            "`dual` = both estimators ≥0.8 in the same run:",
             "",
-            "| pair | efficiency | samples lo (steal%) | samples hi (steal%) | max steal |",
-            "|---|---|---|---|---|",
+            "| pair | median eff | min-wall eff | dual | "
+            "samples lo (steal%) | samples hi (steal%) | max steal |",
+            "|---|---|---|---|---|---|---|",
         ]
         for pf in pair_files:
             with open(pf) as fh:
@@ -159,46 +171,52 @@ def main():
                     )
                 )
 
+            # min-wall efficiency: stored by round-4+ pair files;
+            # derived from min_step_walls for older files
+            mw = p.get("scaling_efficiency_minwall")
+            if mw is None:
+                walls = [d.get("min_step_walls") for _, d in lvls]
+                if all(w for w in walls):
+                    mw = round((min(walls[0]) / min(walls[1])) / 4.0, 3)
+            dual = p.get("pass_dual")
+            if dual is None and mw is not None:
+                dual = p["scaling_efficiency"] >= 0.8 and mw >= 0.8
             label = p["pair"] + (
                 f" ({p['strategy']})" if p.get("strategy", "shuffle") != "shuffle" else ""
             )
+            if p.get("n_files") not in (None, 2_000_000):
+                label += f" n={p['n_files']:,}"
             lines.append(
                 f"| {label} | **{p['scaling_efficiency']}** "
+                f"| {mw if mw is not None else '—'} "
+                f"| {'PASS' if dual else '—'} "
                 f"| {fmt(lvls[0][1])} | {fmt(lvls[1][1])} "
                 f"| {p.get('max_steal_pct')}% |"
             )
-        lines += [
-            "",
-            "The pair files also record each sample's MIN superstep "
-            "wall — the plan's uncontended capability between steal "
-            "bursts: in the 8→32 shuffle run above, local[32]'s best "
-            "superstep hit 2.91s = **13.1M edges/s/iter** (matching the "
-            "historical clean-host local[32] record) even though every "
-            "local[32] sample carried ≥8.5% steal and the sustained "
-            "medians therefore read low. The gather-strategy pair "
-            "(zero per-superstep shuffle) makes the host lottery "
-            "starkest: at a FIXED level and config its samples span "
-            "4.2M→37.8M edges/s/iter within one hour, and its cleanest "
-            "local[8] sample (0.24% steal) was the *slowest* — "
-            "co-tenant bandwidth pressure invisible to /proc/stat "
-            "dominates steal. Best-sample 8→32 on gather: "
-            "37.8M/18.3M/4 = 0.52; its best local[32] sample "
-            "reproduces the 37.2M full-run record. The plan peaks "
-            "where the hypervisor lets it.",
-        ]
     headline_pair = t.get("scaling_headline_pair", "—")
     headline_eff = t.get("scaling_efficiency_headline")
+    headline_mw = t.get("scaling_efficiency_headline_minwall")
+    dual = t.get("scaling_pass_dual")
     lines += [
         "",
         (
             f"**North-rule evidence.** Headline 4× pair: **{headline_pair}"
-            f" = {headline_eff}**" if headline_eff is not None else ""
+            f" = {headline_eff}** (median estimator)"
+            + (f", **{headline_mw}** (min-wall estimator)" if headline_mw is not None else "")
+            + (f"; dual-estimator pass: **{'yes' if dual else 'no'}**" if dual is not None else "")
+            if headline_eff is not None
+            else ""
         )
         + " — same job, same cached input, two parallelism levels 4× "
-        "apart, each level the MEDIAN of fresh-process repeats (table "
-        "above). Cross-round history of the criterion pair (2→8, "
-        "exclusive medians-of-3): r2 runs 0.830 / 0.806 / 0.708; 1→4: "
-        "0.967 / 0.814 / 0.787 (r2), 0.821 (r1 driver).",
+        "apart; each level runs fresh-process repeats and reports the "
+        "MEDIAN superstep wall (sustained) plus the MIN superstep wall "
+        "(uncontended capability). The criterion counts as met only "
+        "when BOTH estimators clear 0.8 in the same run — a steal "
+        "burst can depress one level's median but cannot manufacture "
+        "a fast superstep at the other level. Cross-round history of "
+        "the criterion pairs (exclusive medians-of-3): 2→8 r2 runs "
+        "0.830 / 0.806 / 0.708; 1→4: 0.967 / 0.814 / 0.787 (r2), "
+        "0.821 (r1 driver).",
         "",
         "**Reading these numbers.** The north rule's ≥0.8 criterion is "
         "defined for N vs 4N *executors* — 4N executors bring 4N memory "
@@ -283,10 +301,11 @@ def main():
         "`python bench.py` (env `SPARK_GRAFT_SF_DIR`, "
         "`SPARK_GRAFT_BENCH_FILES`).",
     ]
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    out_path = os.path.join(BENCH_DIR, "BASELINE.md")
+    with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -27,17 +27,20 @@ shuffle-join implementation, whose per-superstep state never
 concentrates anywhere. The cutover is the same decision Spark itself
 makes between broadcast-hash and shuffle joins.
 
-MEASURED (38M-edge bench graph, 24g heap, round 3): **37.2M
-edges/s/iter at local[32]** (~1.0s/superstep) — 2.7× the shuffle-join
-path's best-ever local[32] reading (13.2M), measured even under 15.9%
-recorded hypervisor steal (BENCH/bench_full_r3_run3.json). The
-round-3 Arrow-native collect (``toArrow``, no pandas row objects)
-removed what an earlier pandas-path measurement made look like a
-JVM→Python transfer cap; with the dst-range-partitioned edges cached,
-a superstep is one in-memory Arrow scan + numpy bincount per
-partition plus a V-row Arrow collect. On one box this is now the
-FASTER strategy whenever the dense-id/V-bound preconditions above
-hold; the shuffle-join path remains the unbounded-scale default.
+MEASURED (38M-edge bench graph, 24g heap): the strategy's wall is
+dominated by the per-superstep broadcast fetch + V-row driver collect,
+which makes it hostage to driver/host I/O contention in a way the
+shuffle plan is not — at a FIXED level and config, local[32] samples
+spanned **4.2M–37.8M edges/s/iter within one hour** (best single run
+37.2M = ~1.0s/superstep, BENCH/bench_full_r3_run3.json; the round-3
+driver bench measured the same configuration at 2.2M while the shuffle
+plan did 14.9M in the same phase). The 37.2M peak is real but not
+reproducible on demand. Do NOT pick this strategy on a measured-faster
+assumption: use :func:`pagerank_auto`, which probes one superstep of
+each physical plan on the live cluster and runs the winner — the same
+runtime decision Spark itself makes between broadcast-hash and
+shuffle joins. The shuffle-join path remains the unbounded-scale
+default.
 """
 
 from __future__ import annotations
@@ -93,12 +96,13 @@ def pagerank_gather(
             f"{MAX_DENSE_VERTICES} — use pagerank() (shuffle-join path)"
         )
 
-    # outdeg vector on the driver (V rows once, via Arrow)
-    deg_pdf = (
-        parted.groupBy("src").agg(F.count("*").alias("c")).toPandas()
-    )
+    # outdeg vector on the driver (V rows once, via Arrow — same
+    # pandas-free path as the per-superstep collect below)
+    deg_tbl = parted.groupBy("src").agg(F.count("*").alias("c")).toArrow()
     outdeg = np.zeros(n, dtype=np.float64)
-    outdeg[deg_pdf["src"].to_numpy()] = deg_pdf["c"].to_numpy(dtype=np.float64)
+    outdeg[deg_tbl.column("src").to_numpy(zero_copy_only=False)] = deg_tbl.column(
+        "c"
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
     # vertices = src ∪ dst; ids with no row at all (holes in a
     # non-dense range) get rank too — harmless, they behave as
     # isolated dangling vertices
@@ -196,6 +200,67 @@ def pagerank_gather(
         pd.DataFrame({"id": np.arange(n, dtype=np.int64), "rank": rank})
     )
     return IterationResult(state, k, metrics, resumed_from)
+
+
+def pagerank_auto(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-10,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    probe_iterations: int = 2,
+) -> IterationResult:
+    """Self-defending strategy pick: probe both physical PageRank plans
+    on the live input, run the full job with the measured winner.
+
+    The gather plan's superstep wall swings ~9× run-to-run at a fixed
+    level on this class of host (per-superstep broadcast fetch + V-row
+    driver collect compete with whatever else touches driver I/O), so
+    any STATIC "gather is faster here" rule is wrong somewhere. This
+    wrapper runs ``probe_iterations`` supersteps of each plan (2 by
+    default — the first absorbs JIT/persist warm-up; the MIN step wall
+    is compared) and picks per run, the same decision Spark itself
+    makes between broadcast-hash and shuffle joins at plan time, made
+    with measured walls instead of size estimates. The probe costs
+    ~2 supersteps per strategy; skip it (call a strategy directly) only
+    when the iteration count is too small to amortize that.
+
+    The decision is logged on the result: ``result.strategy_probe ==
+    {"shuffle_min_step_sec": ..., "gather_min_step_sec": ...,
+    "chosen": "shuffle"|"gather"}``. Graphs whose vertex space exceeds
+    the gather plan's dense-vector cap auto-demote to shuffle with
+    ``gather_min_step_sec = None``.
+    """
+    from simdgraphprocessing_spark.algorithms.pagerank import pagerank as _shuffle
+
+    probe: dict = {}
+    res_s = _shuffle(edges, damping=damping, max_iterations=probe_iterations, tol=0.0)
+    probe["shuffle_min_step_sec"] = min(m["wall_sec"] for m in res_s.metrics)
+    try:
+        res_g = pagerank_gather(
+            edges, damping=damping, max_iterations=probe_iterations, tol=0.0
+        )
+        probe["gather_min_step_sec"] = min(m["wall_sec"] for m in res_g.metrics)
+    except ValueError:
+        # V exceeds MAX_DENSE_VERTICES — gather is structurally out
+        probe["gather_min_step_sec"] = None
+    use_gather = (
+        probe["gather_min_step_sec"] is not None
+        and probe["gather_min_step_sec"] < probe["shuffle_min_step_sec"]
+    )
+    probe["chosen"] = "gather" if use_gather else "shuffle"
+    fn = pagerank_gather if use_gather else _shuffle
+    res = fn(
+        edges,
+        damping=damping,
+        max_iterations=max_iterations,
+        tol=tol,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+    )
+    res.strategy_probe = probe
+    return res
 
 
 def _last_complete(checkpoint_dir: str) -> int | None:

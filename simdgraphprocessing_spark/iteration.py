@@ -42,6 +42,9 @@ class IterationResult:
     iterations: int
     metrics: list[dict] = field(default_factory=list)
     resumed_from: int | None = None
+    # set by strategy-probing wrappers (pagerank_auto): which physical
+    # plan ran and the measured probe walls that decided it
+    strategy_probe: dict | None = None
 
 
 def _ckpt_path(checkpoint_dir: str, k: int) -> str:

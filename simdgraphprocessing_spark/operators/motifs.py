@@ -276,15 +276,20 @@ def _fish_factorized(edges: DataFrame) -> DataFrame:
             F.coalesce(F.expr("3 * (sum(k * (k - 1)) DIV 2)"), F.lit(0)).alias("v")
         )
 
+        # ONE driver action for the whole tail: the three single-row
+        # aggregates cross-join into one row and collect together
+        # (three separate collects = three jobs re-walking the shared
+        # persisted co-pair subtree's scan)
         row = (
-            main.collect()[0]["v"],
-            corr1.collect()[0]["v"],
-            term3.collect()[0]["v"],
+            main.select(F.col("v").alias("m"))
+            .crossJoin(corr1.select(F.col("v").alias("c1")))
+            .crossJoin(term3.select(F.col("v").alias("t3")))
+            .collect()[0]
         )
     finally:
         pe.unpersist()
         p.unpersist()
-    fishes = int(row[0]) - int(row[1]) + int(row[2])
+    fishes = int(row["m"]) - int(row["c1"]) + int(row["t3"])
     spark = edges.sparkSession
     return spark.createDataFrame([(fishes,)], "fishes long")
 

@@ -200,34 +200,47 @@ def _collect_sorted_edges(e: DataFrame, cap: int):
         se.unpersist()
 
 
-def _per_edge_csr_broadcast(e: DataFrame, sorted_cols) -> DataFrame:
-    """Shared-CSR realization: build the oriented CSR once from the
-    flat sorted edge columns (never from per-row list objects),
-    broadcast it, and drive the per-edge loop FROM the broadcast:
-    each task streams its edge batches against the shared arrays.
-    This is the reference's ``par_for`` over CSR rows
-    (``undirected_triangle_counting.cpp:45-56``) with Spark broadcast
-    standing in for shared memory; nothing E-sized shuffles.
-    """
+def broadcast_oriented_csr(e: DataFrame, cap: int = CSR_BROADCAST_VALUES):
+    """Build + broadcast the oriented CSR from flat pre-sorted edge
+    columns (never from per-row list objects). Returns the broadcast —
+    value ``(ids, offsets, values, universe)`` with ``universe`` = the
+    id-space size for density decisions — or None when the oriented
+    edge count exceeds ``cap``. Shared by the triangle and clique CSR
+    paths; a new build unpersists the previous broadcast."""
     import numpy as np
 
     global _LAST_CSR_BC
-    spark = e.sparkSession
-    sc = spark.sparkContext
+    sorted_cols = _collect_sorted_edges(e, cap)
+    if sorted_cols is None:
+        return None
     s, values = sorted_cols
     # s is sorted — unique boundaries come from one linear scan
     ids, starts = np.unique(s, return_index=True)
     offsets = np.concatenate((starts, [len(s)])).astype(np.int64)
+    universe = int(
+        max(ids[-1] if len(ids) else -1, values.max() if len(values) else -1)
+    ) + 1
     release_csr_broadcast()
-    bc = sc.broadcast((ids, offsets, values))
+    bc = e.sparkSession.sparkContext.broadcast((ids, offsets, values, universe))
     _LAST_CSR_BC = bc
+    return bc
+
+
+def _per_edge_csr_broadcast(e: DataFrame, bc) -> DataFrame:
+    """Shared-CSR realization: drive the per-edge loop FROM the
+    broadcast CSR — each task streams its edge batches against the
+    shared arrays. This is the reference's ``par_for`` over CSR rows
+    (``undirected_triangle_counting.cpp:45-56``) with Spark broadcast
+    standing in for shared memory; nothing E-sized shuffles.
+    """
+    import numpy as np
 
     out_schema = "src long, dst long, tri_cnt long"
 
     def count_batches(batches):
         from simdgraphprocessing_spark import kernels
 
-        b_ids, b_off, b_val = bc.value
+        b_ids, b_off, b_val, _universe = bc.value
         nv = len(b_ids)
 
         def row_offsets(v: "np.ndarray"):
@@ -269,9 +282,9 @@ def _per_edge_csr(edges: DataFrame) -> DataFrame:
     # the persisted sorted form) and the CSR source (Arrow collect of
     # pre-sorted blocks) — no separate strategy-probe scan, no
     # driver-side O(E) sort, no pandas materialization
-    sorted_cols = _collect_sorted_edges(e, CSR_BROADCAST_VALUES)
-    if sorted_cols is not None:
-        return _per_edge_csr_broadcast(e, sorted_cols)
+    bc = broadcast_oriented_csr(e)
+    if bc is not None:
+        return _per_edge_csr_broadcast(e, bc)
     adj = adjacency(e).select("id", "nbrs")
     pairs = (
         e.join(adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "nbrs_src"), "src")

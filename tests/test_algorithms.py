@@ -188,3 +188,41 @@ def test_pagerank_gather_checkpoint_resume(spark, tmp_path):
     assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
     # per-superstep metrics survive the resume
     assert [m["superstep"] for m in resumed.metrics] == [1, 2, 3, 4, 5, 6]
+
+
+def test_pagerank_auto_probes_and_matches(spark):
+    """pagerank_auto runs a measured 1-superstep probe of each physical
+    plan, logs the decision, and its ranks match the shuffle plan."""
+    from simdgraphprocessing_spark.algorithms import pagerank_auto
+
+    pairs = zipf_random_pairs(n=120)
+    e = edge_df(spark, pairs)
+    res = pagerank_auto(e, max_iterations=8, tol=0.0)
+    probe = res.strategy_probe
+    assert probe is not None and probe["chosen"] in ("shuffle", "gather")
+    assert probe["shuffle_min_step_sec"] > 0
+    base = pagerank(e, max_iterations=8, tol=0.0)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    exp = {r["id"]: r["rank"] for r in base.state.collect()}
+    assert set(got) == set(exp)
+    assert all(abs(got[i] - exp[i]) < 1e-9 for i in got)
+
+
+def test_pagerank_auto_demotes_oversized_vertex_space(spark, monkeypatch):
+    """Graphs beyond the gather plan's dense-vector cap must auto-pick
+    the shuffle plan with the demotion visible in the probe log."""
+    import importlib
+
+    from simdgraphprocessing_spark.algorithms import pagerank_auto
+
+    # the package re-exports the function under the module's name, so
+    # resolve the real module through importlib
+    pg = importlib.import_module(
+        "simdgraphprocessing_spark.algorithms.pagerank_gather"
+    )
+    monkeypatch.setattr(pg, "MAX_DENSE_VERTICES", 10)
+    pairs = zipf_random_pairs(n=120)
+    e = edge_df(spark, pairs)
+    res = pagerank_auto(e, max_iterations=3, tol=0.0)
+    assert res.strategy_probe["chosen"] == "shuffle"
+    assert res.strategy_probe["gather_min_step_sec"] is None

@@ -241,3 +241,19 @@ def test_triangles_from_adjacency_matches_edge_path(spark):
     e = edge_df(spark, pairs)
     got = triangles_from_adjacency(adjacency(e)).collect()[0]["triangles"]
     assert got == tri_oracle(pairs)
+
+
+def test_clique_csr_join_parity_and_triangle_consistency(spark):
+    """The broadcast-CSR clique recursion (intersect_chain/repackage
+    path) must agree with the relational join plan, and k=3 with the
+    triangle count."""
+    pairs = zipf_random_pairs()
+    g = Graph.from_edge_list_degree_ordered(
+        spark.createDataFrame(pairs, "src long, dst long")
+    )
+    tri = triangle_count(g.edges).collect()[0]["triangles"]
+    assert clique_count(g.edges, 3, method="csr").collect()[0]["cliques"] == tri
+    for k in (3, 4):
+        a = clique_count(g.edges, k, method="csr").collect()[0]["cliques"]
+        b = clique_count(g.edges, k, method="join").collect()[0]["cliques"]
+        assert a == b
