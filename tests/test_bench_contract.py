@@ -93,6 +93,24 @@ def _pessimistic_out() -> dict:
         "etl_sec": 344.62,
         "partial": True,
         "truncated": ["local2_reps_2_of_3"],
+        "recorded_pairs": [
+            {
+                "pair": "local2_to_local8",
+                "n_files": 8_000_000,
+                "eff": 0.888,
+                "eff_minwall": 0.888,
+                "pass_dual": True,
+                "src": "BENCH/pair_2_8_n8000000_latest.json",
+            },
+            {
+                "pair": "local8_to_local32",
+                "n_files": 8_000_000,
+                "eff": 0.888,
+                "eff_minwall": 0.888,
+                "pass_dual": False,
+                "src": "BENCH/pair_8_32_n8000000_latest.json",
+            },
+        ],
     }
 
 
@@ -126,6 +144,62 @@ def test_assemble_line_degrades_in_order():
     assert "triangle_count_csr" in parsed["queries"]
     # original dict not mutated (emit() reuses it for the detail file)
     assert "graph" in out and "triangles_local32" in out["queries"]
+    # recorded big-graph pair evidence is trimmed to 1 entry, not lost
+    assert len(parsed["recorded_pairs"]) == 1
+    assert parsed["recorded_pairs"][0]["pair"] == "local2_to_local8"
+    assert len(out["recorded_pairs"]) == 2
+
+
+def _write_pair(d: Path, name: str, **over) -> None:
+    body = {
+        "pair": "local2_to_local8",
+        "strategy": "shuffle",
+        "scaling_efficiency": 0.93,
+        "scaling_efficiency_minwall": 0.95,
+        "pass_dual": True,
+        "repeats": 3,
+        "n_files": 8_000_000,
+        "max_steal_pct": 0.5,
+        **over,
+    }
+    (d / name).write_text(json.dumps(body))
+
+
+def test_recorded_pair_summaries_filters_and_labels(tmp_path):
+    """Only shuffle-strategy pairs at a LARGER size than the current
+    run are surfaced; each entry carries its source file so a recorded
+    reading can never be mistaken for this run's measurement."""
+    _write_pair(tmp_path, "pair_2_8_n8000000_latest.json")
+    # same-size pair (the current run already measures this): excluded
+    _write_pair(tmp_path, "pair_2_8_latest.json", n_files=2_000_000)
+    # gather strategy: informational only, never surfaced
+    _write_pair(
+        tmp_path, "pair_8_32_gather_n8000000_latest.json", strategy="gather"
+    )
+    # corrupt file: skipped, not fatal
+    (tmp_path / "pair_9_36_latest.json").write_text("{not json")
+    rows = bench.recorded_pair_summaries(str(tmp_path), 2_000_000)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["src"] == "BENCH/pair_2_8_n8000000_latest.json"
+    assert r["pass_dual"] is True and r["eff"] == 0.93
+    assert r["eff_minwall"] == 0.95 and r["n_files"] == 8_000_000
+
+
+def test_recorded_pair_summaries_orders_and_caps(tmp_path):
+    _write_pair(tmp_path, "pair_2_8_n4000000_latest.json",
+                n_files=4_000_000, pass_dual=False, scaling_efficiency=0.7)
+    _write_pair(tmp_path, "pair_2_8_n8000000_latest.json")
+    _write_pair(tmp_path, "pair_8_32_n8000000_latest.json",
+                pair="local8_to_local32", pass_dual=False)
+    _write_pair(tmp_path, "pair_2_8_n16000000_latest.json",
+                n_files=16_000_000, pass_dual=False)
+    rows = bench.recorded_pair_summaries(str(tmp_path), 2_000_000)
+    # dual-pass entries lead, then larger inputs; capped at 3
+    assert len(rows) == 3
+    assert rows[0]["pass_dual"] is True
+    assert rows[1]["n_files"] == 16_000_000
+    assert bench.recorded_pair_summaries(str(tmp_path), 20_000_000) == []
 
 
 def test_scaling_summary_dual_estimator_gate():
