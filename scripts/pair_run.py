@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
-def child(args: list[str], timeout: int = 3600) -> dict:
+def child(args: list[str], timeout: int = 5400) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(bench.__file__), *args],
         capture_output=True, text=True, timeout=timeout,
@@ -77,11 +77,20 @@ def main():
 
     levels = {}
     for cores in (hi, lo):
-        runs = [
-            child(["--suite", str(cores), path, "0",
-                   "1" if strategy == "gather" else "0"])
-            for _ in range(repeats)
-        ]
+        # incremental progress per repeat (a big-graph pair runs ~2 h
+        # at 8M files; a crash or child timeout must not lose the
+        # already-measured samples)
+        runs = []
+        for rep in range(repeats):
+            r = child(["--suite", str(cores), path, "0",
+                       "1" if strategy == "gather" else "0"])
+            runs.append(r)
+            print(json.dumps({
+                "level": f"local{cores}", "rep": rep,
+                "edges_per_sec_iter": round(r[metric], 1),
+                "min_step_sec": round(min(r[walls_key]), 3),
+                "steal_pct": r.get("steal_pct"),
+            }), flush=True)
         med = bench.pick_median(runs, metric)
         min_walls = [round(min(r[walls_key]), 3) for r in runs]
         edge_rows = med["edge_rows"]
