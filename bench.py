@@ -70,6 +70,25 @@ BENCH_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "false",
     "spark.driver.memory": "24g",
 }
+# experiment knobs (recorded in CONF_NOTE via the env themselves):
+# SPARK_GRAFT_DRIVER_MEM sizes the heap to the graph under test —
+# 24g is tuned for the default 2M-file graph; the 8M-file graph's 4×
+# working set turns G1 mixed collections into ~10 s superstep stalls
+# at that size. SPARK_GRAFT_JAVA_OPTS adds e.g. -Xlog:gc* for pause
+# forensics.
+if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+    BENCH_CONF["spark.driver.memory"] = os.environ["SPARK_GRAFT_DRIVER_MEM"]
+# ExplicitGCInvokesConcurrent: the 45s periodic cleaner GC (below) calls
+# System.gc(), which on G1 is a full STOP-THE-WORLD collection by
+# default — measured as a 73s superstep (vs the 21-23s plateau) when it
+# landed mid-superstep on the 8M-file graph. As a concurrent cycle it
+# still lets the ContextCleaner reap shuffle files without the stall.
+_GC_OPT = "-XX:+ExplicitGCInvokesConcurrent"
+BENCH_CONF["spark.driver.extraJavaOptions"] = (
+    _GC_OPT + " " + os.environ["SPARK_GRAFT_JAVA_OPTS"]
+    if os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    else _GC_OPT
+)
 CONF_NOTE = {
     **BENCH_CONF,
     "spark.sql.adaptive.enabled": "true",
@@ -101,7 +120,18 @@ def _steal_pct(before, after) -> dict:
     }
 
 
-def _session(cores: int):
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _session(cores: int, edges_path: str | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -111,11 +141,30 @@ def _session(cores: int):
         time.sleep(1)
     from simdgraphprocessing_spark.session import get_spark
 
+    conf = dict(BENCH_CONF)
+    # Shuffle files live on the /dev/shm ramdisk and the ContextCleaner
+    # frees them only when a JVM GC collects the ShuffleDependency —
+    # Spark's default periodic GC is 30 MIN, so an iterative job that
+    # outruns organic old-gen GC accumulates every superstep's shuffle
+    # in RAM. Measured on the 8M-file graph at local[8]: superstep
+    # walls degraded monotonically 22s → 77s within one run (CPU 76%
+    # idle, zero steal, no GC pause >0.3s) as ~4 GB/superstep of
+    # uncompressed shuffle crowded the page cache. A 45s periodic GC
+    # bounds the backlog; for big inputs (>0.5 GB parquet ≈ >100M edge
+    # rows) shuffle compression goes back on — lz4 is ~4× on int
+    # columns and the disk-I/O-confound argument for keeping it off
+    # only holds when the whole backlog fits comfortably beside the
+    # page cache. Keyed on the INPUT, so both levels of a scaling pair
+    # always run the identical conf.
+    conf["spark.cleaner.periodicGC.interval"] = "45s"
+    if edges_path and _dir_bytes(edges_path) > 500 * 1024 * 1024:
+        conf["spark.shuffle.compress"] = "true"
+        conf["spark.shuffle.spill.compress"] = "true"
     return get_spark(
         app_name=f"bench-local{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
-        extra_conf=dict(BENCH_CONF),
+        extra_conf=conf,
     )
 
 
@@ -185,8 +234,15 @@ def run_graph_suite(
 
     # warm-up (JIT, code-gen, page cache): two iterations — one is not
     # enough for C2 to compile the join/agg loops, which skews the
-    # first measured run
-    pagerank(edges, max_iterations=2, tol=0.0)
+    # first measured run. On BIG inputs the ramp is much longer: the
+    # 8M-file graph at local[8] walks 69s → 34s → ... → 21-23s plateau
+    # over ~10 supersteps (C2 tiers + G1 sizing the heap to the 4×
+    # working set), so a 2-superstep warm-up leaves the first measured
+    # run reporting the ramp, not the engine. Steady-state-first is the
+    # standard JMH discipline; both levels of a scaling pair get the
+    # IDENTICAL warm-up, keyed on the input.
+    warm_iters = 10 if _dir_bytes(edges_path) > 500 * 1024 * 1024 else 2
+    pagerank(edges, max_iterations=warm_iters, tol=0.0)
     # robust measurement: two runs, per-superstep walls from the
     # driver's metrics, take the median of all steady-state steps —
     # local-mode JVMs have multi-second GC outliers that a single
@@ -739,7 +795,7 @@ def main():
 def suite_main(cores: int, edges_path: str, do_triangles: bool, do_gather: bool):
     """Child-process entrypoint (fresh JVM per parallelism level)."""
     c0 = _read_cpu_stat()
-    spark = _session(cores)
+    spark = _session(cores, edges_path)
     out = run_graph_suite(spark, edges_path, do_triangles, do_gather, cores_hint=cores)
     spark.stop()
     out.update(_steal_pct(c0, _read_cpu_stat()))

