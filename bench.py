@@ -432,16 +432,23 @@ def scaling_summary(throughput: dict) -> dict:
     return out
 
 
+RUN_MEASURED_PAIRS = ("local2_to_local8", "local8_to_local32")
+
+
 def recorded_pair_summaries(bench_dir: str, current_n_files: int) -> list[dict]:
-    """Compact summaries of prior exclusive pair-run artifacts at a
-    LARGER input size than this run (``scripts/pair_run.py`` writes
-    them with full per-sample throughput + steal). The driver's wall
-    budget cannot host a criterion sweep on the big graph — local[2]
-    alone runs ~20 min/repeat at 8M files — so the compact line
-    carries these recorded readings, each labeled with its source
-    file and mtime so it can never be mistaken for a measurement of
-    THIS run. Shuffle-strategy (criterion-plan) pairs only; newest
-    first, capped at 3. Pure function over the BENCH dir."""
+    """Compact summaries of prior exclusive pair-run artifacts
+    (``scripts/pair_run.py`` writes them with full per-sample
+    throughput + steal). The driver's wall budget cannot host every
+    criterion pair — local[2] alone runs ~20 min/repeat at 8M files,
+    and the low-core 1→4 pair (which isolates plan scaling from the
+    single box's memory-bus saturation) feeds no driver phase — so the
+    compact line carries these recorded readings, each labeled with
+    its source file and input size so it can never be mistaken for a
+    measurement of THIS run. Shuffle-strategy (criterion-plan) pairs
+    only; a recorded pair is EXCLUDED when this run measures the same
+    pair at the same input size fresh (the live reading must never be
+    masked by a cached one). Dual-pass rows lead, then larger inputs;
+    capped at 3. Pure function over the BENCH dir."""
     import glob
 
     rows = []
@@ -454,7 +461,9 @@ def recorded_pair_summaries(bench_dir: str, current_n_files: int) -> list[dict]:
         if d.get("strategy", "shuffle") != "shuffle":
             continue
         nf = d.get("n_files")
-        if not isinstance(nf, int) or nf <= current_n_files:
+        if not isinstance(nf, int):
+            continue
+        if nf == current_n_files and d.get("pair") in RUN_MEASURED_PAIRS:
             continue
         # line entries stay narrow (the compact line is budgeted at
         # 1,700 chars); repeats / per-sample steal / walls live in the

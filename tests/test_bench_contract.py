@@ -166,12 +166,18 @@ def _write_pair(d: Path, name: str, **over) -> None:
 
 
 def test_recorded_pair_summaries_filters_and_labels(tmp_path):
-    """Only shuffle-strategy pairs at a LARGER size than the current
-    run are surfaced; each entry carries its source file so a recorded
-    reading can never be mistaken for this run's measurement."""
+    """Shuffle-strategy pair artifacts are surfaced UNLESS the current
+    run measures the same pair at the same input size fresh (the live
+    reading must never be masked by a cached one); each entry carries
+    its source file so a recorded reading can never be mistaken for
+    this run's measurement."""
     _write_pair(tmp_path, "pair_2_8_n8000000_latest.json")
-    # same-size pair (the current run already measures this): excluded
+    # same-size run-measured pair (the current run measures 2->8 at
+    # 2M fresh): excluded
     _write_pair(tmp_path, "pair_2_8_latest.json", n_files=2_000_000)
+    # same-size pair the run does NOT measure (1->4): surfaced
+    _write_pair(tmp_path, "pair_1_4_latest.json", n_files=2_000_000,
+                pair="local1_to_local4", scaling_efficiency=0.9)
     # gather strategy: informational only, never surfaced
     _write_pair(
         tmp_path, "pair_8_32_gather_n8000000_latest.json", strategy="gather"
@@ -179,11 +185,13 @@ def test_recorded_pair_summaries_filters_and_labels(tmp_path):
     # corrupt file: skipped, not fatal
     (tmp_path / "pair_9_36_latest.json").write_text("{not json")
     rows = bench.recorded_pair_summaries(str(tmp_path), 2_000_000)
-    assert len(rows) == 1
-    r = rows[0]
-    assert r["src"] == "BENCH/pair_2_8_n8000000_latest.json"
+    assert len(rows) == 2
+    assert {r["src"] for r in rows} == {
+        "BENCH/pair_2_8_n8000000_latest.json", "BENCH/pair_1_4_latest.json"
+    }
+    r = [x for x in rows if x["n_files"] == 8_000_000][0]
     assert r["pass_dual"] is True and r["eff"] == 0.93
-    assert r["eff_minwall"] == 0.95 and r["n_files"] == 8_000_000
+    assert r["eff_minwall"] == 0.95
 
 
 def test_recorded_pair_summaries_orders_and_caps(tmp_path):
@@ -199,7 +207,9 @@ def test_recorded_pair_summaries_orders_and_caps(tmp_path):
     assert len(rows) == 3
     assert rows[0]["pass_dual"] is True
     assert rows[1]["n_files"] == 16_000_000
-    assert bench.recorded_pair_summaries(str(tmp_path), 20_000_000) == []
+    # at 20M files none of these duplicate a run-measured pair either,
+    # so all four are eligible; the cap still holds
+    assert len(bench.recorded_pair_summaries(str(tmp_path), 20_000_000)) == 3
 
 
 def test_scaling_summary_dual_estimator_gate():
