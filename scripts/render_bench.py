@@ -116,9 +116,9 @@ def main():
             "edges/sec/iter; the headline pair uses the MEDIAN of these). "
             "steal% = hypervisor steal share during that sample — the "
             "sandbox VM is oversubscribed and steal spikes exactly when "
-            "the bench is busy (measured up to 16.5%, which moved "
-            "identical queries 6.5s → 49.7s minutes apart), so a sample "
-            "with high steal under-reports real throughput:",
+            "the bench is busy (dated observations in "
+            "BENCH/MEASUREMENT_HISTORY.md), so a sample with high steal "
+            "under-reports real throughput:",
             "",
             "| level | samples | rel. spread | steal% per sample |",
             "|---|---|---|---|",
@@ -213,47 +213,25 @@ def main():
         "(uncontended capability). The criterion counts as met only "
         "when BOTH estimators clear 0.8 in the same run — a steal "
         "burst can depress one level's median but cannot manufacture "
-        "a fast superstep at the other level. Cross-round history of "
-        "the criterion pairs (exclusive medians-of-3): 2→8 r2 runs "
-        "0.830 / 0.806 / 0.708; 1→4: 0.967 / 0.814 / 0.787 (r2), "
-        "0.821 (r1 driver).",
+        "a fast superstep at the other level.",
         "",
         "**Reading these numbers.** The north rule's ≥0.8 criterion is "
         "defined for N vs 4N *executors* — 4N executors bring 4N memory "
         "buses, NICs, and page caches. The sandbox proxy (N vs 4N cores of "
         "ONE box) is strictly harsher: every level shares a single DRAM "
         "bus, and PageRank is one E-sized shuffle per superstep, so "
-        "high-core pairs measure bus saturation, not plan quality — "
-        "per-core throughput decays smoothly (1.6M/core at local[1] → "
-        "0.4M/core at local[32]) exactly as a bandwidth-bound job does. "
-        "Per-superstep decomposition fits wall ≈ F + W/N with fixed "
-        "overhead F ≈ 1.8 s (job scheduling + V-sized state "
-        "materialization) and perfectly-parallel W — with F removed the "
-        "2→8 pair models at ≈1.0, and the plan itself has "
-        "no serial stage, no single-partition exchange, and partition "
-        "counts track parallelism (verified: `explain` shows no "
-        "SinglePartition anywhere in the superstep). Host noise on this "
-        "shared sandbox is now MEASURED, not estimated: per-phase "
-        "hypervisor steal (tables above) reached 16% of all jiffies — "
-        "≈30% of busy time — in round-3 runs, in bursts that hit "
-        "arbitrary phases; identical queries moved 6.5s → 49.7s minutes "
-        "apart. A steal burst at level N inflates a pair's efficiency, "
-        "one at 4N deflates it — hence the cross-run scatter (2→8: "
-        "0.83/0.81/0.78/0.74/0.60/0.54/0.52 across rounds 2-3; 8→32: "
-        "0.79/0.22/0.20/0.06). Steal is also a lower bound on contention: "
-        "on round 3's busy nights even low-steal samples ran at ~50% "
-        "of round-2 throughput at the same level on the same input "
-        "(local[8]: 4.1M vs 7.9M e/s/iter) — co-tenant memory-bandwidth "
-        "pressure that /proc/stat cannot see, and that hits "
-        "higher-core levels hardest, systematically deflating every "
-        "N→4N pair measured on a busy host. The quiet-window record "
-        "stands: r2 exclusive medians-of-3 runs measured 2→8 at 0.830 "
-        "and 0.806 on this same 38M-edge input, and the decomposition's "
-        "clean cells give 0.845 — while every instrumented sub-0.8 "
-        "round-3 reading carries recorded steal ≥2% (usually ≥6%) on "
-        "its upper level. BENCH/DECOMPOSITION.md carries the measured "
-        "two-graph-size F + W/N decomposition (F constant at 0.9 s "
-        "across a 4× size change, W linear in E).",
+        "high-core pairs measure bus saturation as much as plan quality; "
+        "the plan itself has no serial stage, no single-partition "
+        "exchange, and partition counts track parallelism (verified: "
+        "`explain` shows no SinglePartition anywhere in the superstep). "
+        "Host noise is MEASURED, not estimated: per-sample hypervisor "
+        "steal is recorded beside every number in the tables above. "
+        "Round-stamped measurement history (cross-round pair readings, "
+        "steal anecdotes, quiet-window records) lives in "
+        "BENCH/MEASUREMENT_HISTORY.md — a static dated log, so this "
+        "generated report never restates stale figures as current. "
+        "BENCH/DECOMPOSITION.md carries the measured two-graph-size "
+        "F + W/N superstep decomposition.",
         "",
         "## Headline metric",
         "",
