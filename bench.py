@@ -94,6 +94,9 @@ CONF_NOTE = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.shuffle.partitions": "= 2 x cores",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # appended per level by _session (see the GC-capacity note there):
+    # GC pools sized to the level's cores, not the host's 32
+    "driver.extraJavaOptions+": "-XX:ParallelGCThreads=<cores> -XX:ConcGCThreads=<cores/4>",
 }
 
 
@@ -160,6 +163,21 @@ def _session(cores: int, edges_path: str | None = None):
     if edges_path and _dir_bytes(edges_path) > 500 * 1024 * 1024:
         conf["spark.shuffle.compress"] = "true"
         conf["spark.shuffle.spill.compress"] = "true"
+    # GC capacity proportional to the level, not the host: HotSpot
+    # sizes its GC pools from the BOX's 32 CPUs no matter what
+    # local[N] is, so a local[2] "slice" gets ~23 parallel GC threads
+    # of idle silicon a real 2-core executor would never have — free
+    # GC capacity that inflates the low-core denominator of every
+    # N → 4N pair. On a real cluster the GC-threads-per-core ratio is
+    # constant across cluster sizes (each executor JVM sizes GC from
+    # its own cores); pinning ParallelGCThreads = cores and
+    # ConcGCThreads = cores/4 (HotSpot's own default ratio) restores
+    # that invariant for the proxy. Applied identically at every
+    # level, recorded in CONF_NOTE.
+    conf["spark.driver.extraJavaOptions"] = (
+        conf.get("spark.driver.extraJavaOptions", _GC_OPT)
+        + f" -XX:ParallelGCThreads={cores} -XX:ConcGCThreads={max(1, cores // 4)}"
+    )
     return get_spark(
         app_name=f"bench-local{cores}",
         master=f"local[{cores}]",
