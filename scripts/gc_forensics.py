@@ -21,14 +21,19 @@ def parse_pauses(path: str) -> list[tuple[float, float, str]]:
     out = []
     # e.g. [2026-08-18T14:45:12.345+0000][12.345s][info][gc] GC(7)
     #      Pause Young (Normal) (G1 Evacuation Pause) 512M->128M(24576M) 43.210ms
+    # Kind is matched NON-GREEDILY up to the heap-transition or the
+    # trailing duration, so parenthesis-free records ('Pause Remark
+    # 500M->500M(24G) 12.3ms', 'Pause Cleanup ... 1.2ms') keep their
+    # kind clean instead of absorbing the heap-size text.
     pat = re.compile(
-        r"\[(\d+\.\d+)s\].*?GC\(\d+\)\s+Pause\s+([^)]*\)[^)]*\)?)\s.*?\s(\d+\.\d+)ms"
+        r"\[(\d+\.\d+)s\].*?GC\(\d+\)\s+Pause\s+(.+?)\s+"
+        r"(?:\d+[KMG]->\d+[KMG]\(\d+[KMG]\)\s+)?(\d+\.\d+)ms\s*$"
     )
     with open(path) as fh:
         for line in fh:
             if " Pause " not in line or "ms" not in line:
                 continue
-            m = pat.search(line)
+            m = pat.search(line.rstrip())
             if m:
                 out.append((float(m.group(1)), float(m.group(3)), m.group(2)))
     return out
@@ -53,8 +58,15 @@ def main():
     for t, ms, kind in sorted(pauses, key=lambda p: -p[1])[:10]:
         print(f"  {t:9.1f}s  {ms:9.1f}ms  {kind}")
     if len(sys.argv) > 2:
+        # accept both indent-formatted suite artifacts (e.g.
+        # BENCH/bench_full_latest.json) and JSONL logs whose LAST line
+        # is the suite dict
         with open(sys.argv[2]) as fh:
-            suite = json.loads(fh.read().strip().splitlines()[-1])
+            body = fh.read()
+        try:
+            suite = json.loads(body)
+        except ValueError:
+            suite = json.loads(body.strip().splitlines()[-1])
         walls = suite.get("pagerank_step_walls", [])
         if walls:
             print(

@@ -32,8 +32,30 @@ import bench  # noqa: E402  (reuses _session / BENCH_CONF: identical conf to the
 import simdgraphprocessing_spark.iteration as iteration  # noqa: E402
 
 
-def _java_pid() -> int:
-    out = os.popen("pgrep -f 'java.*pyspark' | head -1").read().strip()
+def _java_pid(spark=None) -> int:
+    """Pid of THIS session's local-mode JVM.
+
+    Derived from the py4j gateway child process when a session is
+    given (never attributes a concurrent, unrelated Spark JVM's
+    CPU/IO to these samples); falls back to the NEWEST matching java
+    process, with a clear error instead of a bare int('') ValueError
+    when no JVM is up."""
+    if spark is not None:
+        proc = getattr(spark.sparkContext._gateway, "proc", None)
+        if proc is not None and proc.pid:
+            return int(proc.pid)
+    import subprocess
+
+    # list-form exec (no shell): a shell's own cmdline would contain
+    # the pattern and pgrep -n would return the shell itself
+    out = subprocess.run(
+        ["pgrep", "-n", "-f", "java.*pyspark"], capture_output=True, text=True
+    ).stdout.strip()
+    if not out:
+        raise RuntimeError(
+            "no pyspark JVM found (is the SparkSession up?) — "
+            "pgrep -f 'java.*pyspark' matched nothing"
+        )
     return int(out)
 
 
@@ -109,7 +131,7 @@ def main():
     spark = bench._session(cores, edges_path)
     edges = spark.read.parquet(edges_path).persist()
     n_edges = edges.count()
-    pid = _java_pid()
+    pid = _java_pid(spark)
     print(f"# cores={cores} edges={n_edges} jvm_pid={pid}", flush=True)
 
     sampler = Sampler(pid, cores)

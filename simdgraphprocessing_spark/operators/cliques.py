@@ -9,8 +9,11 @@ Two physical strategies:
   the same candidate-set shrinking as C_d = C_{d-1} ∩ N(v_d),
   expressed as joins Catalyst can reorder/broadcast; AQE splits skewed
   hubs. Works at any scale (nothing is broadcast) but re-joins the
-  oriented edge table at every depth — it was the slowest graph query
-  in the round-3 driver bench.
+  oriented edge table at every depth — measurably slower than the CSR
+  kernel wherever the broadcast fits (round-4 driver bench: join plan
+  52.3 s in round 3 vs 9.1 s for the CSR default in round 4 on the
+  same sf0.1 graph), so it is the above-the-cap fallback, not the
+  default.
 
 * ``method="csr"`` (default via ``"auto"`` when the oriented adjacency
   fits the broadcast cap): the reference's literal execution shape.
@@ -70,7 +73,17 @@ def _extend_count(C: np.ndarray, remaining: int, nbr_slice) -> int:
     greater than its last vertex; pick the next vertex c from C in
     order, narrow to C ∩ N⁺(c) (elements after c — orientation keeps
     the count at once per clique), recurse. ``remaining`` = vertices
-    still to place; at 1 every candidate completes a clique."""
+    still to place; at 1 every candidate completes a clique.
+
+    Per-candidate PYTHON recursion — acceptable because the vectorized
+    common-neighbor prefilter in ``_clique_count_csr`` admits only
+    triangle-closing edges (a vanishing fraction of a power-law edge
+    stream), so the interpreter loop runs over candidate sets, not E.
+    Known limit: k ≥ 5 on DENSE graphs multiplies candidates per level
+    and the loop overhead would dominate — that regime wants a
+    vectorized frontier (batch all level-d candidate sets into one
+    ``intersect_count_pairs`` call) or the relational join plan, which
+    remains available via ``method="join"``."""
     if remaining == 1:
         return len(C)
     from simdgraphprocessing_spark import kernels

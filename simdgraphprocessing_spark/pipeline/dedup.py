@@ -148,19 +148,39 @@ def minhash_signatures(
 
     ``hash_mode="direct"`` (production mode): h_i = min over tokens of
     ``xxhash64(i, token)`` — hashes the token STRING directly, no
-    dictionary, no vocabulary shuffle; the signature computation is one
-    narrow map + groupBy. This is the path to run at 100 TB; its
-    signatures differ from dict mode, but LSH recall is equivalent and
-    the verified near-dup PAIRS match (tested), because verification
-    always recomputes exact Jaccard on candidates.
+    dictionary, no vocabulary shuffle. All k hashes of a posting are
+    computed in ONE array expression (``transform(sequence(0, k-1),
+    i -> xxhash64(i, token))``) and the per-index minimum taken with k
+    cheap ``min(hs[i])`` aggregates — one hash-expression tree per
+    posting row instead of the k independent ``min(xxhash64(i, token))``
+    aggregate trees of rounds 3-4, which benched SLOWER than the dict
+    oracle two rounds running (38.8 s vs 29.2 s in the round-4 driver
+    bench; this form computes the same signatures in ~1.4 s at sf0.1).
+    The groupBy is also a deliberate MATERIALIZATION BARRIER: an
+    in-place per-doc signature (no explode, no shuffle) was measured
+    at 71 s end-to-end because Catalyst's projection collapse re-expands
+    each unevaluated h_i expression once per referencing LSH band
+    column — re-tokenizing every document 32×. The aggregate output
+    columns are plain attributes, so banding fan-out above it can
+    never re-evaluate them; the shuffle it costs is doc-count-sized
+    (k longs per doc after map-side partial min) — corpus-size-
+    independent, the 100 TB path. Direct signatures differ from dict
+    mode, but LSH recall is equivalent and the verified near-dup PAIRS
+    match (tested), because verification always recomputes exact
+    Jaccard on candidates.
     """
     if hash_mode == "direct":
         postings = _doc_tokens(docs, text_col, id_col)
+        hs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.xxhash64(i, F.col("token")),
+        )
+        withhs = postings.select(F.col(id_col), hs.alias("hs"))
         aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            F.min(F.element_at("hs", i + 1)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-        return postings.groupBy(id_col).agg(*aggs)
+        return withhs.groupBy(id_col).agg(*aggs)
     if dictionary is None:
         dictionary = token_dictionary(docs, text_col)
     postings = _doc_tokens(docs, text_col, id_col).join(

@@ -45,7 +45,7 @@ def _pessimistic_out() -> dict:
     queries.update({f"triangles_local{c}": 1234.567 for c in (32, 8)})
     queries.update({f"triangles_csr_local{c}": 1234.567 for c in (32, 8)})
     queries.update(
-        {f"pagerank_gather_5iter_local{c}": 12345.678 for c in (32, 8)}
+        {f"pagerank_auto_5iter_local{c}": 12345.678 for c in (32, 8)}
     )
     queries.update(
         {
@@ -63,14 +63,13 @@ def _pessimistic_out() -> dict:
         **{f"pagerank_edges_per_sec_iter_min_local{c}": 12345678.9 for c in (32, 8, 2)},
         **{f"triangles_per_sec_local{c}": 123456.7 for c in (32, 8)},
         **{
-            f"pagerank_gather_edges_per_sec_iter_local{c}": 12345678.9
+            f"pagerank_auto_edges_per_sec_iter_local{c}": 12345678.9
             for c in (32, 8)
         },
         "scaling_efficiency_pagerank_2_to_8": 0.888,
         "scaling_efficiency_pagerank_2_to_8_minwall": 0.888,
         "scaling_efficiency_pagerank_8_to_32": 0.888,
         "scaling_efficiency_pagerank_8_to_32_minwall": 0.888,
-        "scaling_efficiency_gather_8_to_32": 0.888,
         "scaling_efficiency_triangles_join_8_to_32": 0.888,
         "scaling_efficiency_triangles_csr_8_to_32": 0.888,
     }
@@ -83,6 +82,10 @@ def _pessimistic_out() -> dict:
         "sf": 0.1,
         "graph": {"edge_rows": 38_269_442, "n_files": 2_000_000, "triangles": 297_934},
         "throughput": throughput,
+        "strategy_probe": {
+            f"local{c}": {"shuffle": 2.345, "gather": 3.456, "chosen": "shuffle"}
+            for c in (32, 8)
+        },
         "host_steal_pct": {
             **{f"local{c}": 12.34 for c in (32, 8, 2)},
             "queries": 12.34,
@@ -136,7 +139,7 @@ def test_assemble_line_degrades_in_order():
     parsed = json.loads(line)
     assert "graph" not in parsed
     assert not any(
-        k.startswith(("triangles_local", "triangles_csr_local", "pagerank_gather_"))
+        k.startswith(("triangles_local", "triangles_csr_local", "pagerank_auto_"))
         for k in parsed["queries"]
     )
     assert "scaling_efficiency_headline" in parsed["throughput"]

@@ -60,6 +60,28 @@ def test_triangles_zipf_vs_bruteforce(spark, method):
     )
 
 
+def test_triangle_auto_cutover(spark):
+    """method="auto" (the default) picks the broadcast-CSR kernel when
+    the oriented adjacency fits the cap and the relational join plan
+    above it — same cutover as clique_count (round-4 driver bench under
+    the cap: csr 9.4 s vs join 18.0 s, so a static join default was the
+    slower plan exactly where most graphs live)."""
+    pairs = zipf_random_pairs()
+    e = edge_df(spark, pairs)
+    want = tri_oracle(pairs)
+
+    under = triangle_count(e, method="auto")  # default cap: fits
+    assert "MapInArrow" in under._jdf.queryExecution().analyzed().toString()
+    assert under.collect()[0]["triangles"] == want
+
+    over = triangle_count(e, method="auto", csr_cap=1)  # forced above cap
+    assert "MapInArrow" not in over._jdf.queryExecution().analyzed().toString()
+    assert over.collect()[0]["triangles"] == want
+
+    with pytest.raises(ValueError):
+        triangle_count(e, method="nope")
+
+
 def test_triangles_invariant_under_degree_relabel(spark):
     pairs = zipf_random_pairs()
     g = Graph.from_edge_list_degree_ordered(
