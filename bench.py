@@ -420,10 +420,11 @@ def scaling_summary(throughput: dict) -> dict:
     """North-rule headline from per-pair efficiencies (pure function).
 
     Candidates are the SHUFFLE-plan pagerank pairs only — medians-of-3
-    fresh processes at both levels. The gather pair is reported
-    informationally but never drives the headline: it is measured on a
-    single repeat per level and its per-superstep driver collect gives
-    it a 9× sample spread at a fixed level (round-3 ADVICE).
+    fresh processes at both levels. The pagerank_auto phase never
+    feeds a pair: it runs one repeat per level and may pick a
+    DIFFERENT physical plan at each level, so a cross-level ratio of
+    its walls is not a scaling measurement (round 4's
+    gather_8_to_32 = 1.548 was exactly that artifact; removed).
 
     Each candidate pair carries two estimators from the same samples:
     ``..._2_to_8`` (median superstep walls) and ``..._2_to_8_minwall``
