@@ -126,6 +126,15 @@ def _q_tri_csr(spark, sf_dir):
     return triangle_count(_sym_parts(spark, sf_dir), method="csr")
 
 
+def _q_tri_auto(spark, sf_dir):
+    # default path: size-probe cutover (broadcast-CSR kernel under the
+    # cap, relational join above it) — the plan a user gets when they
+    # don't pick a method; driver-verified against the same oracle
+    from simdgraphprocessing_spark.operators import triangle_count
+
+    return triangle_count(_sym_parts(spark, sf_dir), method="auto")
+
+
 def _q_tri_per_edge_hist(spark, sf_dir):
     from simdgraphprocessing_spark.operators import triangles_per_edge
 
@@ -828,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_max_degree_vertex": _q_max_degree_vertex,
         "triangle_count_join": _q_tri_join,
         "triangle_count_csr": _q_tri_csr,
+        "triangle_count_auto": _q_tri_auto,
         "triangles_per_edge_hist": _q_tri_per_edge_hist,
         "clique4_count": _q_clique4,
         "similar_nodes": _q_similar_nodes,
@@ -929,6 +939,7 @@ ORDER BY degree DESC, id ASC LIMIT 1
 """,
         "triangle_count_join": tri_sql,
         "triangle_count_csr": tri_sql,
+        "triangle_count_auto": tri_sql,
         "triangles_per_edge_hist": f"""
 WITH {EPARTS},
 per_edge AS (

@@ -72,9 +72,40 @@ def main():
     lines += [
         "",
         (
-            "| PageRank broadcast-gather variant, local[32] | "
+            # round-5 bench runs the strategy probe (pagerank_auto);
+            # older artifacts carry the raw gather phase instead
+            "| PageRank auto-strategy (probe both plans, run winner), "
+            "local[32] | "
+            f"{t.get('pagerank_auto_edges_per_sec_iter_local32', 0):,.0f} "
+            "edges/sec/iter |"
+            if "pagerank_auto_edges_per_sec_iter_local32" in t
+            else "| PageRank broadcast-gather variant, local[32] | "
             f"{t.get('pagerank_gather_edges_per_sec_iter_local32', 0):,.0f} "
             "edges/sec/iter |"
+        ),
+        *(
+            [
+                "| auto-strategy probe walls (2 supersteps/plan) @32 | "
+                + ", ".join(
+                    f"{k}: {v:.2f}s"
+                    for k, v in sorted(
+                        b["suite_raw"]["local32"]["pagerank_auto_probe"].items()
+                    )
+                    if isinstance(v, (int, float))
+                )
+                + " → chose "
+                + str(
+                    b["suite_raw"]["local32"]["pagerank_auto_probe"].get(
+                        "chosen", "?"
+                    )
+                )
+                + " |"
+            ]
+            if isinstance(
+                b.get("suite_raw", {}).get("local32", {}).get("pagerank_auto_probe"),
+                dict,
+            )
+            else []
         ),
         (
             "| Triangle counting (best of join/csr) | "
