@@ -299,8 +299,10 @@ def main():
         f"{q.get('pagerank_5iter_local2')}s @2",
         f"- Triangle count wall: {q.get('triangles_local32')}s @32",
         "",
-        "## Driver-testdata queries (sf=%s, local[32], seconds, best of "
-        "%d exclusive runs)" % (b["sf"], len(runs)),
+        "## Driver-testdata queries (sf=%s, local[32], seconds — min of "
+        "≥2 in-run samples per query, each sample's steal window in "
+        "bench_full_latest.json query_detail; %d run artifact%s)"
+        % (b["sf"], len(runs), "s" if len(runs) != 1 else ""),
         "",
         "| query | sec |",
         "|---|---|",
