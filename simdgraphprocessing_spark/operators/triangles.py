@@ -14,7 +14,13 @@ Three method values (default ``"auto"``):
   makes, and the same decision Spark itself makes between
   broadcast-hash and shuffle joins. Round-4 driver bench under the
   cap: csr 9.4 s vs join 18.0 s — a join default was the slower plan
-  exactly where most graphs live.
+  exactly where most graphs live. Honesty note from round-5 repeat
+  measurements: with warm min-of-2 sampling the two plans land within
+  ~1.5× of each other in either direction (join 5.8 s vs csr 6.6 s in
+  one quiet window, join 5.4 s vs csr 11.2 s in another), so the cap
+  is a structural-safety cutover (never broadcast what doesn't fit),
+  not a guaranteed-fastest pick; callers who care at the margin
+  should measure both on their graph, as `bench.py` does.
 
 * ``method="join"``: a declarative 3-way self-join that
   Catalyst plans as two shuffle joins with AQE; this is the
