@@ -281,8 +281,10 @@ def main():
         "on the 8→32 pair here, and a shuffle superstep's random "
         "gather/scatter saturates the same bus earlier. Stacked with the "
         "fixed-overhead decomposition this reproduces the measured 8→32 "
-        "readings within ~7% at both graph sizes "
-        "(BENCH/MEASUREMENT_HISTORY.md, round-5 entries). The "
+        "readings within ~7% at both graph sizes, and the pinned 8M-file "
+        "series converges on the ceiling exactly as that model predicts "
+        "(min-wall 0.684 → 0.790 across attempts vs the 0.828 bound; "
+        "BENCH/MEASUREMENT_HISTORY.md, round-5 entries). The "
         "criterion-grade pairs are therefore the ones where the box's "
         "own bandwidth DOES scale ≥4× — 1→4 and 2→8 — which is also the "
         "regime that faithfully models real N→4N executors (4N memory "
