@@ -298,6 +298,83 @@ def kunle_intersect_count(ea: Kunle, eb: Kunle) -> int:
     return 0
 
 
+# ------------------------------------ compressed at-rest encodings
+
+
+def variant_encode(a: np.ndarray) -> np.ndarray:
+    """Delta + byte-aligned varint stream (``src/set/layouts/
+    variant.hpp:91-108``, deltas ``:41``): 7 data bits per byte,
+    little-endian, high bit = continuation.  Like the reference, this
+    is an AT-REST format — compute always goes through decode first
+    (``Set::decode``, ``src/set/Set.hpp:148-155``).  Encoded without
+    per-element Python: a ≤10-pass loop over byte *positions*, each
+    pass one vectorized scatter."""
+    a = np.asarray(a, dtype=np.int64)
+    n = a.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = a[0]
+    deltas[1:] = np.diff(a).astype(np.uint64)
+    lens = np.ones(n, dtype=np.int64)
+    tmp = deltas >> np.uint64(7)
+    while tmp.any():
+        lens += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    out = np.zeros(int(lens.sum()), dtype=np.uint8)
+    for k in range(int(lens.max())):
+        rows = lens > k
+        byte = (deltas[rows] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (lens[rows] > k + 1).astype(np.uint8) << 7
+        out[offs[rows] + k] = byte.astype(np.uint8) | cont
+    return out
+
+
+def variant_decode(stream: np.ndarray) -> np.ndarray:
+    stream = np.asarray(stream, dtype=np.uint8)
+    if stream.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.nonzero((stream & 0x80) == 0)[0]  # terminator bytes
+    n = ends.size
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lens = ends - starts + 1
+    val_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pos = np.arange(stream.size, dtype=np.int64) - np.repeat(starts, lens)
+    vals = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(
+        vals, val_idx, (stream & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    )
+    return np.cumsum(vals.astype(np.int64))
+
+
+def bitpacked_encode(a: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """Delta + fixed-width bit-packing (``src/set/layouts/
+    bitpacked.hpp:44-131``): every delta stored in the stream-wide
+    maximum bit width.  Returns ``(n, width, packed_bytes)``.  At-rest
+    only, like the reference (decode before compute)."""
+    a = np.asarray(a, dtype=np.int64)
+    n = a.size
+    if n == 0:
+        return 0, 0, np.empty(0, dtype=np.uint8)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = a[0]
+    deltas[1:] = np.diff(a).astype(np.uint64)
+    width = max(1, int(deltas.max()).bit_length())
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((deltas[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return n, width, np.packbits(bits.reshape(-1), bitorder="little")
+
+
+def bitpacked_decode(n: int, width: int, packed: np.ndarray) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bits = np.unpackbits(packed, bitorder="little")[: n * width]
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64)).astype(np.uint64)
+    deltas = (bits.reshape(n, width).astype(np.uint64) * weights).sum(axis=1)
+    return np.cumsum(deltas.astype(np.int64))
+
+
 # ------------------------------------------- alternate uint∩uint schemes
 
 

@@ -129,6 +129,40 @@ def test_kunle_kunle(a, b):
     assert got == oracle(a, b)
 
 
+# ------------------------------------------ compressed at-rest encodings
+
+
+@settings(max_examples=100, deadline=None)
+@given(any_sets)
+def test_variant_roundtrip(a):
+    assert np.array_equal(layouts.variant_decode(layouts.variant_encode(a)), a)
+
+
+@settings(max_examples=100, deadline=None)
+@given(any_sets)
+def test_bitpacked_roundtrip(a):
+    n, w, packed = layouts.bitpacked_encode(a)
+    assert np.array_equal(layouts.bitpacked_decode(n, w, packed), a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(any_sets, any_sets)
+def test_decode_before_compute(a, b):
+    # the reference's Set::decode path: compressed layouts are decoded
+    # to uinteger before any intersection (Set.hpp:148-155)
+    da = layouts.variant_decode(layouts.variant_encode(a))
+    db = layouts.bitpacked_decode(*layouts.bitpacked_encode(b))
+    assert kernels.intersect_count(da, db) == oracle(a, b)
+
+
+def test_variant_multibyte_values():
+    a = np.array([0, 127, 128, 16383, 16384, 1 << 30, (1 << 40) + 5], dtype=np.int64)
+    enc = layouts.variant_encode(a)
+    assert np.array_equal(layouts.variant_decode(enc), a)
+    # big gaps force multi-byte varints: stream longer than n bytes
+    assert enc.size > a.size
+
+
 # ------------------------------------------------- alternate uint schemes
 
 
