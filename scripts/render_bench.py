@@ -281,10 +281,16 @@ def main():
         "on the 8→32 pair here, and a shuffle superstep's random "
         "gather/scatter saturates the same bus earlier. Stacked with the "
         "fixed-overhead decomposition this reproduces the measured 8→32 "
-        "readings within ~7% at both graph sizes, and the pinned 8M-file "
-        "series converges on the ceiling exactly as that model predicts "
-        "(min-wall 0.684 → 0.790 across attempts vs the 0.828 bound; "
-        "BENCH/MEASUREMENT_HISTORY.md, round-5 entries). The "
+        "readings within ~7% at both graph sizes; the pinned 8M-file "
+        "series (min-wall 0.574 / 0.684 / 0.790 across three attempts) "
+        "stays under the 0.828 bound with run-to-run spread set by which "
+        "level the hypervisor favors, while the ABSOLUTE local[32] "
+        "capability is ceiling-pinned: its best single superstep across "
+        "all attempts and rounds is ~22.5M edges/s/iter, only 2.30× the "
+        "local[8] best (9.79M, measured at 0.0% steal in the same run) "
+        "against the 3.31× sequential-bandwidth bound — the numerator "
+        "cannot grow 4×, whichever run you pick "
+        "(BENCH/MEASUREMENT_HISTORY.md, round-5 entries). The "
         "criterion-grade pairs are therefore the ones where the box's "
         "own bandwidth DOES scale ≥4× — 1→4 and 2→8 — which is also the "
         "regime that faithfully models real N→4N executors (4N memory "
