@@ -295,14 +295,19 @@ def run_graph_suite(
     }
     if do_gather:
         # strategy-probe phase (informational; excluded from the
-        # headline pair — single sample per level): pagerank_auto
-        # probes 2 supersteps of BOTH physical plans on the live input
-        # and runs the winner (replacing the raw gather phase: the
-        # gather plan's per-superstep driver collect made its direct
-        # wall swing 4.2M–37.8M e/s/iter at a FIXED level within one
-        # hour, so benching it head-on measured driver I/O luck, not
-        # the engine; see pagerank_gather docstring). The probe IS the
-        # warm-up — its first superstep absorbs JIT/persist.
+        # headline pair — single sample per level): pagerank_auto runs
+        # 2 shuffle supersteps, hands their rank state to the gather
+        # plan for the remainder under a per-step budget of 1.25× the
+        # measured shuffle median, and evicts gather back to shuffle
+        # the moment a superstep runs over (the over-budget step still
+        # counts — no discarded work, max regret = one slow step).
+        # This replaced the raw gather phase AND round 5's min-of-2
+        # one-shot probe: the gather plan's per-superstep driver
+        # collect swings its wall 4.2M–37.8M e/s/iter at a FIXED level
+        # within one hour, so a lucky probe sample picked gather and
+        # then paid 13 s/step for the run (67-98 s total vs shuffle's
+        # 16-27 s, bench_full_r5_run{1,2}.json); see the
+        # pagerank_auto docstring for the measured spread.
         t0 = time.time()
         ares = pagerank_auto(edges, max_iterations=PR_ITERS, tol=0.0)
         a_total = time.time() - t0
@@ -724,12 +729,18 @@ def main():
             default=0.0,
         )
         # the auto phase's strategy decision, judge-visible in the
-        # compact line: per-level probe walls + the measured winner
+        # compact line: per-level probe walls, the per-step budget the
+        # gather plan had to keep earning, the steady-state winner,
+        # and — when gather was evicted mid-run — at which superstep
         probes = {
             f"local{c}": {
                 "shuffle": s["pagerank_auto_probe"].get("shuffle_min_step_sec"),
                 "gather": s["pagerank_auto_probe"].get("gather_min_step_sec"),
+                "budget": s["pagerank_auto_probe"].get("gather_step_budget_sec"),
                 "chosen": s["pagerank_auto_probe"].get("chosen"),
+                "fallback_superstep": s["pagerank_auto_probe"].get(
+                    "fallback_superstep"
+                ),
             }
             for c, s in suite.items()
             if "pagerank_auto_probe" in s

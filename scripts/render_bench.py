@@ -85,7 +85,7 @@ def main():
         ),
         *(
             [
-                "| auto-strategy probe walls (2 supersteps/plan) @32 | "
+                "| auto-strategy walls (zero-waste continuation probe) @32 | "
                 + ", ".join(
                     f"{k}: {v:.2f}s"
                     for k, v in sorted(

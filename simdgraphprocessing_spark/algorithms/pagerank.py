@@ -35,11 +35,19 @@ def pagerank(
     tol: float = 1e-10,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    initial_ranks: DataFrame | None = None,
 ) -> IterationResult:
     """Returns IterationResult whose state is ``(id, rank)``.
 
     ``edges`` is a directed edge table (src, dst); for undirected
     graphs pass the symmetrized table. Vertices = src ∪ dst.
+
+    ``initial_ranks``: optional ``(id, rank)`` table to continue a
+    power iteration from (``pagerank_auto``'s strategy hand-off uses
+    this so no probed superstep is ever discarded). Vertices absent
+    from it start at 1/N; the update rule is state-free, so resuming
+    from superstep k here is bit-compatible with having run k
+    supersteps in this plan modulo float reduction order.
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst").repartition("src").persist()
@@ -64,7 +72,14 @@ def pagerank(
 
     # outdeg rides inside the state so the superstep needs no extra
     # vertex-table join to compute rank/outdeg
-    init = vtab.select("id", F.lit(1.0 / n).alias("rank"), "outdeg")
+    if initial_ranks is not None:
+        init = vtab.join(
+            initial_ranks.select("id", F.col("rank").alias("r0")), "id", "left"
+        ).select(
+            "id", F.coalesce(F.col("r0"), F.lit(1.0 / n)).alias("rank"), "outdeg"
+        )
+    else:
+        init = vtab.select("id", F.lit(1.0 / n).alias("rank"), "outdeg")
 
     compute_delta = tol > 0
 

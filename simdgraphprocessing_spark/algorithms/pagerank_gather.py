@@ -35,12 +35,16 @@ spanned **4.2M–37.8M edges/s/iter within one hour** (best single run
 37.2M = ~1.0s/superstep, BENCH/bench_full_r3_run3.json; the round-3
 driver bench measured the same configuration at 2.2M while the shuffle
 plan did 14.9M in the same phase). The 37.2M peak is real but not
-reproducible on demand. Do NOT pick this strategy on a measured-faster
-assumption: use :func:`pagerank_auto`, which probes one superstep of
-each physical plan on the live cluster and runs the winner — the same
-runtime decision Spark itself makes between broadcast-hash and
-shuffle joins. The shuffle-join path remains the unbounded-scale
-default.
+reproducible on demand — and the spread is WITHIN one run, not just
+between runs, so even a measured-faster probe sample is unreliable
+(round 5 measured probe steps of 1.3s followed by run steps of 13s).
+Do NOT pick this strategy on a one-shot measurement: use
+:func:`pagerank_auto`, which makes the plan keep earning its slot —
+every gather superstep runs under a budget derived from the shuffle
+plan's measured walls, and the first over-budget step hands the
+remaining supersteps back to the shuffle plan (state carries over, so
+nothing is recomputed). The shuffle-join path remains the
+unbounded-scale default.
 """
 
 from __future__ import annotations
@@ -68,11 +72,27 @@ def pagerank_gather(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     num_partitions: int | None = None,
+    initial_ranks: DataFrame | None = None,
+    step_timeout_sec: float | None = None,
 ) -> IterationResult:
     """Returns IterationResult whose state is ``(id, rank)``.
 
     ``edges``: directed (src, dst) with DENSE ids in [0, V). Raises if
     the id space is too large for the broadcast vector.
+
+    ``initial_ranks``: optional ``(id, rank)`` table to continue from
+    (the ``pagerank_auto`` strategy hand-off). Must cover the dense
+    id space exactly — a row count != V raises ``ValueError`` (holes
+    would silently change N and the dangling mass between plans).
+
+    ``step_timeout_sec``: per-superstep wall budget. A superstep that
+    RUNS OVER the budget still completes and its rank update still
+    counts (the check happens after the step, so no work is lost),
+    but the loop then stops early with ``metrics[-1]["timeout_
+    exceeded"] = True`` — ``pagerank_auto``'s mid-run defense against
+    this plan's known failure mode (per-superstep broadcast fetch +
+    V-row driver collect degrading ~9× under driver I/O contention;
+    see the module docstring's measured spread).
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
@@ -91,6 +111,7 @@ def pagerank_gather(
         return IterationResult(empty, 0, [])
     n = int(max(stats["ms"], stats["md"])) + 1
     if n > MAX_DENSE_VERTICES:
+        parted.unpersist()
         raise ValueError(
             f"pagerank_gather needs a dense vertex vector; V={n} exceeds "
             f"{MAX_DENSE_VERTICES} — use pagerank() (shuffle-join path)"
@@ -108,7 +129,23 @@ def pagerank_gather(
     # isolated dangling vertices
     dangling_mask = outdeg == 0.0
 
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    if initial_ranks is not None:
+        r_tbl = initial_ranks.select(
+            F.col("id").cast("long"), F.col("rank").cast("double")
+        ).toArrow()
+        if r_tbl.num_rows != n:
+            parted.unpersist()
+            raise ValueError(
+                f"initial_ranks covers {r_tbl.num_rows} vertices but the "
+                f"dense id space is {n} — non-dense hand-off would change "
+                "N and the dangling mass; use pagerank() instead"
+            )
+        rank = np.empty(n, dtype=np.float64)
+        rank[r_tbl.column("id").to_numpy(zero_copy_only=False)] = r_tbl.column(
+            "rank"
+        ).to_numpy(zero_copy_only=False)
+    else:
+        rank = np.full(n, 1.0 / n, dtype=np.float64)
     start_k = 0
     resumed_from = None
     metrics: list[dict] = []
@@ -192,6 +229,17 @@ def pagerank_gather(
             open(os.path.join(d, "_SUCCESS"), "w").close()
         if tol > 0 and delta < tol:
             break
+        if step_timeout_sec is not None:
+            # the first executed superstep pays one-time costs (the
+            # persisted range-partition's first materialization, the
+            # broadcast machinery's first fetch) — grant it 2× budget
+            budget = step_timeout_sec * (2.0 if k == start_k + 1 else 1.0)
+            if wall > budget:
+                # the over-budget step already updated `rank`, so it
+                # counts; only FUTURE supersteps are surrendered to
+                # the caller's fallback plan
+                m["timeout_exceeded"] = True
+                break
 
     parted.unpersist()
     import pandas as pd
@@ -210,57 +258,124 @@ def pagerank_auto(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     probe_iterations: int = 2,
+    gather_step_budget_factor: float = 1.25,
 ) -> IterationResult:
-    """Self-defending strategy pick: probe both physical PageRank plans
-    on the live input, run the full job with the measured winner.
+    """Self-defending strategy pick with ZERO discarded work and a
+    mid-run escape hatch.
 
-    The gather plan's superstep wall swings ~9× run-to-run at a fixed
-    level on this class of host (per-superstep broadcast fetch + V-row
+    Rounds 3-5 measured the gather plan's superstep wall swinging ~9×
+    run-to-run at a FIXED level (per-superstep broadcast fetch + V-row
     driver collect compete with whatever else touches driver I/O), so
-    any STATIC "gather is faster here" rule is wrong somewhere. This
-    wrapper runs ``probe_iterations`` supersteps of each plan (2 by
-    default — the first absorbs JIT/persist warm-up; the MIN step wall
-    is compared) and picks per run, the same decision Spark itself
-    makes between broadcast-hash and shuffle joins at plan time, made
-    with measured walls instead of size estimates. The probe costs
-    ~2 supersteps per strategy; skip it (call a strategy directly) only
-    when the iteration count is too small to amortize that.
+    a static rule is wrong somewhere AND a one-shot probe is wrong
+    somewhere: the round-5 min-of-2-steps probe caught gather's lucky
+    mode (1.3 s/step), picked it, then paid 13 s/step for the whole
+    run — 67-98 s where the plain shuffle plan took 16-27 s
+    (BENCH/bench_full_r5_run{1,2}.json). The fix is structural, not a
+    better estimator:
+
+    1. **Every probed superstep is a real superstep.** Phase 1 runs
+       ``probe_iterations`` shuffle supersteps; phase 2 hands their
+       rank state to the gather plan (``initial_ranks``); a fallback
+       hands gather's state back (the power-iteration update is
+       state-free, so strategies compose exactly). Probing costs
+       nothing but the strategies' own walls.
+    2. **Gather must keep earning its slot.** Phase 2 runs gather for
+       the remainder under a per-superstep budget of
+       ``gather_step_budget_factor × median(shuffle probe walls)``
+       (first step gets 2× for one-time persist/broadcast costs). Any
+       over-budget step still counts — the check is post-step — but
+       surrenders the remaining supersteps to shuffle. One slow
+       superstep is the maximum possible regret.
 
     The decision is logged on the result: ``result.strategy_probe ==
-    {"shuffle_min_step_sec": ..., "gather_min_step_sec": ...,
-    "chosen": "shuffle"|"gather"}``. Graphs whose vertex space exceeds
-    the gather plan's dense-vector cap auto-demote to shuffle with
-    ``gather_min_step_sec = None``.
+    {"shuffle_min_step_sec", "gather_min_step_sec", "chosen",
+    "gather_step_budget_sec", "fallback_superstep"}``; ``chosen`` is
+    the plan that ran the steady state ("shuffle" when gather was
+    demoted — oversized vertex space, ``gather_min_step_sec`` None —
+    or evicted mid-run, with ``fallback_superstep`` marking where).
+    ``checkpoint_dir`` is honored in the steady-state shuffle phase
+    only (the strategy hand-off makes cross-phase resume numbering
+    ambiguous; gather-chosen runs re-run from the probe on restart).
     """
     from simdgraphprocessing_spark.algorithms.pagerank import pagerank as _shuffle
 
-    probe: dict = {}
-    res_s = _shuffle(edges, damping=damping, max_iterations=probe_iterations, tol=0.0)
-    probe["shuffle_min_step_sec"] = min(m["wall_sec"] for m in res_s.metrics)
+    probe: dict = {
+        "shuffle_min_step_sec": None,
+        "gather_min_step_sec": None,
+        "chosen": "shuffle",
+        "fallback_superstep": None,
+    }
+    metrics: list[dict] = []
+
+    def _finish(state, done):
+        out = IterationResult(state, done, metrics)
+        out.strategy_probe = probe
+        return out
+
+    # Phase 1 — shuffle probe (counts toward the run)
+    k1 = min(probe_iterations, max_iterations)
+    res = _shuffle(edges, damping=damping, max_iterations=k1, tol=tol)
+    metrics.extend(res.metrics)
+    s_walls = sorted(m["wall_sec"] for m in res.metrics)
+    probe["shuffle_min_step_sec"] = s_walls[0]
+    probe["shuffle_probe_walls"] = [m["wall_sec"] for m in res.metrics]
+    shuffle_med = s_walls[len(s_walls) // 2]
+    done = res.iterations
+    state = res.state
+    converged = tol > 0 and done < k1
+    if done >= max_iterations or converged:
+        return _finish(state, done)
+
+    # Phase 2 — gather attempt for the remainder, under a per-step
+    # budget derived from the shuffle plan's own measured walls
+    budget = gather_step_budget_factor * shuffle_med
+    probe["gather_step_budget_sec"] = round(budget, 4)
     try:
         res_g = pagerank_gather(
-            edges, damping=damping, max_iterations=probe_iterations, tol=0.0
+            edges,
+            damping=damping,
+            max_iterations=max_iterations - done,
+            tol=tol,
+            initial_ranks=state,
+            step_timeout_sec=budget,
         )
-        probe["gather_min_step_sec"] = min(m["wall_sec"] for m in res_g.metrics)
+        g_walls = [m["wall_sec"] for m in res_g.metrics]
+        if g_walls:
+            probe["gather_min_step_sec"] = min(g_walls)
+            probe["gather_probe_walls"] = g_walls
+        for m in res_g.metrics:
+            metrics.append({**m, "superstep": done + m["superstep"]})
+        state = res_g.state
+        done += res_g.iterations
+        timed_out = bool(
+            res_g.metrics and res_g.metrics[-1].get("timeout_exceeded")
+        )
+        if not timed_out:
+            # gather finished the remainder (or converged) in budget
+            probe["chosen"] = "gather"
+            return _finish(state, done)
+        probe["fallback_superstep"] = done
     except ValueError:
-        # V exceeds MAX_DENSE_VERTICES — gather is structurally out
-        probe["gather_min_step_sec"] = None
-    use_gather = (
-        probe["gather_min_step_sec"] is not None
-        and probe["gather_min_step_sec"] < probe["shuffle_min_step_sec"]
-    )
-    probe["chosen"] = "gather" if use_gather else "shuffle"
-    fn = pagerank_gather if use_gather else _shuffle
-    res = fn(
-        edges,
-        damping=damping,
-        max_iterations=max_iterations,
-        tol=tol,
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_every=checkpoint_every,
-    )
-    res.strategy_probe = probe
-    return res
+        # V exceeds MAX_DENSE_VERTICES (or a non-dense hand-off) —
+        # gather is structurally out; gather_min_step_sec stays None
+        pass
+
+    # Phase 3 — shuffle runs the rest from wherever phase 2 left off
+    if done < max_iterations:
+        res3 = _shuffle(
+            edges,
+            damping=damping,
+            max_iterations=max_iterations - done,
+            tol=tol,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            initial_ranks=state,
+        )
+        for m in res3.metrics:
+            metrics.append({**m, "superstep": done + m["superstep"]})
+        state = res3.state
+        done += res3.iterations
+    return _finish(state, done)
 
 
 def _last_complete(checkpoint_dir: str) -> int | None:

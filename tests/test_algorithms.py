@@ -191,8 +191,11 @@ def test_pagerank_gather_checkpoint_resume(spark, tmp_path):
 
 
 def test_pagerank_auto_probes_and_matches(spark):
-    """pagerank_auto runs a measured 1-superstep probe of each physical
-    plan, logs the decision, and its ranks match the shuffle plan."""
+    """pagerank_auto's probed supersteps are REAL supersteps (shuffle
+    probe state hands off to gather via initial_ranks and back on
+    fallback), so whatever strategy path a given run takes, the final
+    ranks must match the plain shuffle plan and the decision must be
+    logged."""
     from simdgraphprocessing_spark.algorithms import pagerank_auto
 
     pairs = zipf_random_pairs(n=120)
@@ -201,10 +204,61 @@ def test_pagerank_auto_probes_and_matches(spark):
     probe = res.strategy_probe
     assert probe is not None and probe["chosen"] in ("shuffle", "gather")
     assert probe["shuffle_min_step_sec"] > 0
+    assert res.iterations == 8
+    assert [m["superstep"] for m in res.metrics] == list(range(1, 9))
     base = pagerank(e, max_iterations=8, tol=0.0)
     got = {r["id"]: r["rank"] for r in res.state.collect()}
     exp = {r["id"]: r["rank"] for r in base.state.collect()}
     assert set(got) == set(exp)
+    assert all(abs(got[i] - exp[i]) < 1e-9 for i in got)
+
+
+def test_pagerank_auto_gather_keeps_slot_with_big_budget(spark):
+    """With an effectively unlimited per-step budget the gather plan
+    runs the whole remainder: chosen == "gather", no fallback, and the
+    cross-strategy continuation (shuffle steps 1-2, gather steps 3-8)
+    still reproduces the shuffle plan's ranks exactly."""
+    from simdgraphprocessing_spark.algorithms import pagerank_auto
+
+    pairs = zipf_random_pairs(n=120)
+    e = edge_df(spark, pairs)
+    res = pagerank_auto(
+        e, max_iterations=8, tol=0.0, gather_step_budget_factor=1e9
+    )
+    probe = res.strategy_probe
+    assert probe["chosen"] == "gather"
+    assert probe["fallback_superstep"] is None
+    assert probe["gather_min_step_sec"] > 0
+    assert res.iterations == 8
+    base = pagerank(e, max_iterations=8, tol=0.0)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    exp = {r["id"]: r["rank"] for r in base.state.collect()}
+    assert all(abs(got[i] - exp[i]) < 1e-9 for i in got)
+
+
+def test_pagerank_auto_evicts_slow_gather_mid_run(spark):
+    """A zero budget makes gather's first superstep over-budget: it
+    must still COUNT (post-step check — no discarded work), then the
+    shuffle plan finishes the run from gather's rank state. The
+    composed run matches plain shuffle and records where the fallback
+    happened."""
+    from simdgraphprocessing_spark.algorithms import pagerank_auto
+
+    pairs = zipf_random_pairs(n=120)
+    e = edge_df(spark, pairs)
+    res = pagerank_auto(
+        e, max_iterations=8, tol=0.0, gather_step_budget_factor=0.0
+    )
+    probe = res.strategy_probe
+    assert probe["chosen"] == "shuffle"
+    # probe(2 shuffle) + 1 counted-but-evicted gather step
+    assert probe["fallback_superstep"] == 3
+    assert res.iterations == 8
+    assert [m["superstep"] for m in res.metrics] == list(range(1, 9))
+    assert res.metrics[2].get("timeout_exceeded") is True
+    base = pagerank(e, max_iterations=8, tol=0.0)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    exp = {r["id"]: r["rank"] for r in base.state.collect()}
     assert all(abs(got[i] - exp[i]) < 1e-9 for i in got)
 
 
