@@ -22,10 +22,52 @@ the driver per superstep, like the reference's cardinality test.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simdgraphprocessing_spark.iteration import IterationResult, run_supersteps
+
+
+@dataclass
+class ShufflePlanContext:
+    """The shuffle plan's one-time layout: src-partitioned persisted
+    edges, the persisted (id, outdeg) vertex table, V, and whether any
+    vertex dangles. Building it costs three actions (V count, vtab
+    materialize, dangling probe); ``pagerank_auto`` runs the shuffle
+    plan twice per call (probe + post-fallback remainder), so it
+    builds this once and threads it through both — the supersteps
+    themselves are unchanged."""
+
+    edges: DataFrame
+    vtab: DataFrame
+    n: int
+    has_dangling: bool
+
+    def close(self) -> None:
+        self.edges.unpersist()
+        self.vtab.unpersist()
+
+
+def build_shuffle_plan(edges: DataFrame) -> ShufflePlanContext:
+    edges = edges.select("src", "dst").repartition("src").persist()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # (id, outdeg) for every vertex; dangling => outdeg null
+    vtab = vertices.join(out_deg, "id", "left").persist()
+    n = vtab.count()
+    # dangling-mass handling needs a per-superstep driver scalar; skip
+    # the action entirely when the graph has no dangling vertices
+    # (always true for symmetrized graphs)
+    has_dangling = vtab.filter(F.col("outdeg").isNull()).limit(1).count() > 0
+    return ShufflePlanContext(edges, vtab, n, has_dangling)
 
 
 def pagerank(
@@ -36,6 +78,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     initial_ranks: DataFrame | None = None,
+    plan: ShufflePlanContext | None = None,
 ) -> IterationResult:
     """Returns IterationResult whose state is ``(id, rank)``.
 
@@ -48,27 +91,16 @@ def pagerank(
     from it start at 1/N; the update rule is state-free, so resuming
     from superstep k here is bit-compatible with having run k
     supersteps in this plan modulo float reduction order.
+
+    ``plan``: optional prebuilt :class:`ShufflePlanContext`. When
+    given, the caller owns its lifetime (no unpersist here) and
+    ``edges`` is ignored in favor of the plan's persisted copy.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").repartition("src").persist()
-
-    vertices = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist()
-    )
-    n = vertices.count()
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").alias("outdeg")
-    )
-    # (id, outdeg) for every vertex; dangling => outdeg null
-    vtab = vertices.join(out_deg, "id", "left").persist()
-    vtab.count()
-    # dangling-mass handling needs a per-superstep driver scalar; skip
-    # the action entirely when the graph has no dangling vertices
-    # (always true for symmetrized graphs)
-    has_dangling = vtab.filter(F.col("outdeg").isNull()).limit(1).count() > 0
+    own_plan = plan is None
+    if own_plan:
+        plan = build_shuffle_plan(edges)
+    edges, vtab, n, has_dangling = plan.edges, plan.vtab, plan.n, plan.has_dangling
 
     # outdeg rides inside the state so the superstep needs no extra
     # vertex-table join to compute rank/outdeg
@@ -135,6 +167,7 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
     )
-    edges.unpersist()
+    if own_plan:
+        plan.close()
     result.state = result.state.select("id", "rank")
     return result

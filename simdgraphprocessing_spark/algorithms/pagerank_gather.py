@@ -297,7 +297,10 @@ def pagerank_auto(
     only (the strategy hand-off makes cross-phase resume numbering
     ambiguous; gather-chosen runs re-run from the probe on restart).
     """
-    from simdgraphprocessing_spark.algorithms.pagerank import pagerank as _shuffle
+    from simdgraphprocessing_spark.algorithms.pagerank import (
+        build_shuffle_plan,
+        pagerank as _shuffle,
+    )
 
     probe: dict = {
         "shuffle_min_step_sec": None,
@@ -306,15 +309,19 @@ def pagerank_auto(
         "fallback_superstep": None,
     }
     metrics: list[dict] = []
+    # the shuffle plan may run twice (probe + post-fallback remainder);
+    # build its persisted layout once and share it across both phases
+    plan = build_shuffle_plan(edges)
 
     def _finish(state, done):
+        plan.close()
         out = IterationResult(state, done, metrics)
         out.strategy_probe = probe
         return out
 
     # Phase 1 — shuffle probe (counts toward the run)
     k1 = min(probe_iterations, max_iterations)
-    res = _shuffle(edges, damping=damping, max_iterations=k1, tol=tol)
+    res = _shuffle(edges, damping=damping, max_iterations=k1, tol=tol, plan=plan)
     metrics.extend(res.metrics)
     s_walls = sorted(m["wall_sec"] for m in res.metrics)
     probe["shuffle_min_step_sec"] = s_walls[0]
@@ -370,6 +377,7 @@ def pagerank_auto(
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
             initial_ranks=state,
+            plan=plan,
         )
         for m in res3.metrics:
             metrics.append({**m, "superstep": done + m["superstep"]})
