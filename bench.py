@@ -308,14 +308,22 @@ def run_graph_suite(
         # then paid 13 s/step for the run (67-98 s total vs shuffle's
         # 16-27 s, bench_full_r5_run{1,2}.json); see the
         # pagerank_auto docstring for the measured spread.
+        # 12 iterations, not PR_ITERS=5: switching to gather costs a
+        # one-time ~5-superstep setup fee (dst-range repartition +
+        # outdeg collect + two rank hand-offs), so auto's amortization
+        # gate rightly refuses to attempt it on a 5-iteration run —
+        # the informational phase needs a horizon where the attempt is
+        # economically sane, or it would only ever measure the gate.
+        AUTO_ITERS = 12
         t0 = time.time()
-        ares = pagerank_auto(edges, max_iterations=PR_ITERS, tol=0.0)
+        ares = pagerank_auto(edges, max_iterations=AUTO_ITERS, tol=0.0)
         a_total = time.time() - t0
         a_walls = sorted(m["wall_sec"] for m in ares.metrics)
         a_med = a_walls[len(a_walls) // 2]
         out.update(
             {
                 "pagerank_auto_probe": ares.strategy_probe,
+                "pagerank_auto_iters": AUTO_ITERS,
                 "pagerank_auto_sec": a_total,
                 "pagerank_auto_step_walls": a_walls,
                 "pagerank_auto_median_step_sec": a_med,
@@ -642,9 +650,8 @@ def main():
                 if "pagerank_sec" in s
             },
             **{
-                f"pagerank_auto_{PR_ITERS}iter_local{c}": round(
-                    s["pagerank_auto_sec"], 3
-                )
+                f"pagerank_auto_{s.get('pagerank_auto_iters', PR_ITERS)}"
+                f"iter_local{c}": round(s["pagerank_auto_sec"], 3)
                 for c, s in suite.items()
                 if "pagerank_auto_sec" in s
             },
@@ -840,6 +847,7 @@ def main():
                 "triangles_per_sec", "triangles_join_per_sec",
                 "triangles_csr_per_sec",
                 "pagerank_auto_probe", "pagerank_auto_sec",
+                "pagerank_auto_iters",
                 "pagerank_auto_median_step_sec",
                 "pagerank_auto_min_step_sec", "pagerank_auto_step_walls",
                 "pagerank_auto_edges_per_sec_iter",

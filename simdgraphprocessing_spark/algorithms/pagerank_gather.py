@@ -259,6 +259,7 @@ def pagerank_auto(
     checkpoint_every: int = 1,
     probe_iterations: int = 2,
     gather_step_budget_factor: float = 1.25,
+    min_gather_amortization_iters: int = 8,
 ) -> IterationResult:
     """Self-defending strategy pick with ZERO discarded work and a
     mid-run escape hatch.
@@ -286,6 +287,19 @@ def pagerank_auto(
        over-budget step still counts — the check is post-step — but
        surrenders the remaining supersteps to shuffle. One slow
        superstep is the maximum possible regret.
+    3. **Gather must have room to pay its entry fee.** Switching plans
+       costs real setup regardless of step speed: a dst-range
+       repartition+persist of the edge table, an outdeg collect, and
+       two V-row rank hand-offs — measured ~20 s (≈5 shuffle
+       supersteps) on the 38M-edge bench graph. A run with fewer than
+       ``min_gather_amortization_iters`` supersteps remaining after
+       the probe cannot recoup that even from infinitely fast gather
+       steps, so gather is not attempted at all
+       (``strategy_probe["gather_skipped"]`` says why) and the
+       shuffle plan — whose own layout is already built and shared —
+       runs the remainder. Long convergence runs (tol-driven, 20+
+       iterations), where the gather plan's fast mode actually pays,
+       clear this gate automatically.
 
     The decision is logged on the result: ``result.strategy_probe ==
     {"shuffle_min_step_sec", "gather_min_step_sec", "chosen",
@@ -334,7 +348,28 @@ def pagerank_auto(
         return _finish(state, done)
 
     # Phase 2 — gather attempt for the remainder, under a per-step
-    # budget derived from the shuffle plan's own measured walls
+    # budget derived from the shuffle plan's own measured walls —
+    # attempted only when enough supersteps remain to amortize the
+    # strategy switch's one-time setup (see docstring point 3)
+    if max_iterations - done < min_gather_amortization_iters:
+        probe["gather_skipped"] = (
+            f"remaining {max_iterations - done} supersteps < "
+            f"amortization floor {min_gather_amortization_iters}"
+        )
+        res3 = _shuffle(
+            edges,
+            damping=damping,
+            max_iterations=max_iterations - done,
+            tol=tol,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            initial_ranks=state,
+            plan=plan,
+        )
+        for m in res3.metrics:
+            metrics.append({**m, "superstep": done + m["superstep"]})
+        return _finish(res3.state, done + res3.iterations)
+
     budget = gather_step_budget_factor * shuffle_med
     probe["gather_step_budget_sec"] = round(budget, 4)
     try:

@@ -11,10 +11,15 @@ Design for 100 TB:
   only within LSH band buckets (the scale path — never all-pairs);
 * SimHash = integer bit-sketch + hamming filter.
 
-All hash functions are affine ``(a·tid + b) mod P`` over DICTIONARY
-token ids (dense ranks of sorted distinct tokens), not engine hash
-builtins — so the DuckDB oracles in ``__spark_entry__`` reproduce
-them bit-for-bit. P = 1,000,003 (prime).
+All hash functions are the affine family ``(a·x + b) mod P``
+(P = 1,000,003, prime). In the oracle-reproducible dict mode x is a
+DICTIONARY token id (dense rank of sorted distinct tokens) so the
+DuckDB oracles in ``__spark_entry__`` reproduce the signatures
+bit-for-bit; in the production direct mode x is
+``pmod(xxhash64(token), P)`` — same family, seeded by one engine hash
+per posting instead of a global vocabulary rank, verified by the
+final pair set (recall is total at the tested geometry, so both modes
+emit exactly the exact-Jaccard pairs).
 """
 
 from __future__ import annotations
@@ -146,16 +151,22 @@ def minhash_signatures(
     global rank over the vocabulary (a range shuffle of every distinct
     token).
 
-    ``hash_mode="direct"`` (production mode): h_i = min over tokens of
-    ``xxhash64(i, token)`` — hashes the token STRING directly, no
-    dictionary, no vocabulary shuffle. All k hashes of a posting are
-    computed in ONE array expression (``transform(sequence(0, k-1),
-    i -> xxhash64(i, token))``) and the per-index minimum taken with k
-    cheap ``min(hs[i])`` aggregates — one hash-expression tree per
-    posting row instead of the k independent ``min(xxhash64(i, token))``
-    aggregate trees of rounds 3-4, which benched SLOWER than the dict
-    oracle two rounds running (38.8 s vs 29.2 s in the round-4 driver
-    bench; this form computes the same signatures in ~1.4 s at sf0.1).
+    ``hash_mode="direct"`` (production mode): the token STRING is
+    hashed ONCE per posting (``pmod(xxhash64(token), P)``) and the k
+    signature slots are k affine permutations of that single value —
+    ``h_i = min over tokens of (a_i·pmod(xxhash64(token),P)+b_i) mod
+    P``, the same ``MINHASH_AB`` family dict mode applies to dictionary
+    ranks, just seeded by the hash instead of the rank. No dictionary,
+    no vocabulary shuffle, and exactly one string-hash evaluation per
+    posting row: rounds 3-4 evaluated ``xxhash64(i, token)`` k times
+    per posting (k independent aggregate trees — benched SLOWER than
+    the dict oracle two rounds running, 38.8 s vs 29.2 s in the
+    round-4 driver bench), and round 5's first fix still hashed the
+    string k times inside one array expression. Affine-deriving from
+    one 64-bit hash is the standard MinHash construction; ``a·h+b``
+    stays < P² ≈ 10¹² — no int64 wrap. The hash compresses tokens into
+    [0, P) exactly like dict mode's ``mod P`` over ranks, so the
+    collision profile (and LSH recall) is the same family.
     The groupBy is also a deliberate MATERIALIZATION BARRIER: an
     in-place per-doc signature (no explode, no shuffle) was measured
     at 71 s end-to-end because Catalyst's projection collapse re-expands
@@ -171,16 +182,15 @@ def minhash_signatures(
     """
     if hash_mode == "direct":
         postings = _doc_tokens(docs, text_col, id_col)
-        hs = F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.xxhash64(i, F.col("token")),
+        withh = postings.select(
+            F.col(id_col),
+            F.pmod(F.xxhash64(F.col("token")), F.lit(P)).alias("hm"),
         )
-        withhs = postings.select(F.col(id_col), hs.alias("hs"))
         aggs = [
-            F.min(F.element_at("hs", i + 1)).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
         ]
-        return withhs.groupBy(id_col).agg(*aggs)
+        return withh.groupBy(id_col).agg(*aggs)
     if dictionary is None:
         dictionary = token_dictionary(docs, text_col)
     postings = _doc_tokens(docs, text_col, id_col).join(

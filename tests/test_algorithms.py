@@ -204,6 +204,11 @@ def test_pagerank_auto_probes_and_matches(spark):
     probe = res.strategy_probe
     assert probe is not None and probe["chosen"] in ("shuffle", "gather")
     assert probe["shuffle_min_step_sec"] > 0
+    # 8 iterations leave 6 after the probe — under the default
+    # amortization floor, so gather must not even be attempted (its
+    # ~5-superstep setup fee can't be recouped) and the gate is logged
+    assert probe["chosen"] == "shuffle"
+    assert "gather_skipped" in probe
     assert res.iterations == 8
     assert [m["superstep"] for m in res.metrics] == list(range(1, 9))
     base = pagerank(e, max_iterations=8, tol=0.0)
@@ -223,7 +228,11 @@ def test_pagerank_auto_gather_keeps_slot_with_big_budget(spark):
     pairs = zipf_random_pairs(n=120)
     e = edge_df(spark, pairs)
     res = pagerank_auto(
-        e, max_iterations=8, tol=0.0, gather_step_budget_factor=1e9
+        e,
+        max_iterations=8,
+        tol=0.0,
+        gather_step_budget_factor=1e9,
+        min_gather_amortization_iters=1,
     )
     probe = res.strategy_probe
     assert probe["chosen"] == "gather"
@@ -247,7 +256,11 @@ def test_pagerank_auto_evicts_slow_gather_mid_run(spark):
     pairs = zipf_random_pairs(n=120)
     e = edge_df(spark, pairs)
     res = pagerank_auto(
-        e, max_iterations=8, tol=0.0, gather_step_budget_factor=0.0
+        e,
+        max_iterations=8,
+        tol=0.0,
+        gather_step_budget_factor=0.0,
+        min_gather_amortization_iters=1,
     )
     probe = res.strategy_probe
     assert probe["chosen"] == "shuffle"
@@ -277,9 +290,12 @@ def test_pagerank_auto_demotes_oversized_vertex_space(spark, monkeypatch):
     monkeypatch.setattr(pg, "MAX_DENSE_VERTICES", 10)
     pairs = zipf_random_pairs(n=120)
     e = edge_df(spark, pairs)
-    res = pagerank_auto(e, max_iterations=3, tol=0.0)
+    res = pagerank_auto(
+        e, max_iterations=3, tol=0.0, min_gather_amortization_iters=1
+    )
     assert res.strategy_probe["chosen"] == "shuffle"
     assert res.strategy_probe["gather_min_step_sec"] is None
+    assert "gather_skipped" not in res.strategy_probe  # demoted, not gated
 
 
 def test_supersteps_free_localcheckpoint_blocks(spark):
