@@ -420,9 +420,10 @@ def _q_minhash_lsh(spark, sf_dir):
 
 
 def _q_minhash_direct(spark, sf_dir):
-    """The PRODUCTION MinHash configuration (hash_mode='direct':
-    xxhash64 over token strings — no vocabulary dictionary, no
-    token-id range shuffle; see dedup.py). The oracle asserts this
+    """The PRODUCTION MinHash configuration (hash_mode='direct': ONE
+    xxhash64 per token posting, k affine MINHASH_AB permutations of
+    that value — no vocabulary dictionary, no token-id range shuffle;
+    see dedup.py). The oracle asserts this
     path's verified output equals the exact token-Jaccard pair set —
     i.e. banding recall is total at this threshold/band geometry, the
     same guarantee the dict-mode twin demonstrates."""

@@ -17,10 +17,10 @@ from each level's fastest single superstep across all repeats
 0.8 in the same run — a steal burst can depress one level's median,
 but it cannot manufacture a fast superstep at the other level.
 
-Usage: python scripts/pair_run.py [lo] [hi] [repeats] [n_files] [strategy]
-       (defaults: 2 8 3 2000000 shuffle; strategy ∈ {shuffle, gather})
-Writes BENCH/pair_<lo>_<hi>_<strategy>_latest.json with full samples
-(shuffle keeps the legacy pair_<lo>_<hi>_latest.json name). The BENCH
+Usage: python scripts/pair_run.py [lo] [hi] [repeats] [n_files]
+       (defaults: 2 8 3 2000000; shuffle-plan PageRank only — the
+       gather plan is benched through pagerank_auto in the full suite)
+Writes BENCH/pair_<lo>_<hi>_latest.json with full samples. The BENCH
 dir is anchored to the repo root (bench.__file__), not the CWD.
 """
 
@@ -55,21 +55,19 @@ def main():
     strategy = sys.argv[5] if len(sys.argv) > 5 else "shuffle"
     if hi != 4 * lo:
         raise SystemExit("pair must be N and 4N")
-    if strategy not in ("shuffle", "gather"):
-        raise SystemExit("strategy must be shuffle or gather")
-    metric = (
-        "pagerank_edges_per_sec_iter"
-        if strategy == "shuffle"
-        else "pagerank_gather_edges_per_sec_iter"
-    )
-    step_key = (
-        "pagerank_median_step_sec"
-        if strategy == "shuffle"
-        else "pagerank_gather_median_step_sec"
-    )
-    walls_key = (
-        "pagerank_step_walls" if strategy == "shuffle" else "pagerank_gather_step_walls"
-    )
+    if strategy != "shuffle":
+        # the raw-gather suite phase was replaced by pagerank_auto in
+        # round 5 (the plan's bimodal wall made gather-vs-gather
+        # efficiency physically meaningless — round-4 verdict); the
+        # one historical gather pair artifact is preserved as
+        # BENCH/pair_8_32_gather_latest.json
+        raise SystemExit(
+            "only the shuffle strategy is pair-measurable; the gather "
+            "plan is benched through pagerank_auto in the full suite"
+        )
+    metric = "pagerank_edges_per_sec_iter"
+    step_key = "pagerank_median_step_sec"
+    walls_key = "pagerank_step_walls"
 
     t0 = time.time()
     b = child(["--build", str(n_files)])
@@ -82,8 +80,7 @@ def main():
         # already-measured samples)
         runs = []
         for rep in range(repeats):
-            r = child(["--suite", str(cores), path, "0",
-                       "1" if strategy == "gather" else "0"])
+            r = child(["--suite", str(cores), path, "0", "0"])
             runs.append(r)
             print(json.dumps({
                 "level": f"local{cores}", "rep": rep,

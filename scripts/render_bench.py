@@ -74,7 +74,8 @@ def main():
         (
             # round-5 bench runs the strategy probe (pagerank_auto);
             # older artifacts carry the raw gather phase instead
-            "| PageRank auto-strategy (probe both plans, run winner), "
+            "| PageRank auto-strategy (zero-waste continuation; gather "
+            "evicted on first over-budget superstep), "
             "local[32] | "
             f"{t.get('pagerank_auto_edges_per_sec_iter_local32', 0):,.0f} "
             "edges/sec/iter |"
