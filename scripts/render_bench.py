@@ -88,7 +88,11 @@ def main():
             [
                 "| auto-strategy walls (zero-waste continuation probe) @32 | "
                 + ", ".join(
-                    f"{k}: {v:.2f}s"
+                    (
+                        f"{k}: {v}"
+                        if k == "fallback_superstep"
+                        else f"{k}: {v:.2f}s"
+                    )
                     for k, v in sorted(
                         b["suite_raw"]["local32"]["pagerank_auto_probe"].items()
                     )
