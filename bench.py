@@ -15,6 +15,11 @@ Headline numbers (BASELINE.md protocol):
   when BOTH estimators clear 0.8 in the same run — a single
   noise-assisted median can no longer decide the round (round 3's
   0.911 headline was exactly that: a steal-depressed denominator).
+  Since round 5 a level whose repeats ran mostly contended (fewer
+  than 2 samples at ≤5% steal) tops up with extra pagerank-only
+  repeats, and the median is taken over clean samples when ≥2 exist —
+  steal only ever depresses a sample, so excluding contended repeats
+  cannot manufacture throughput.
 * Per-query seconds for the driver-testdata queries at local[32],
   each query re-run once if its sample carried >5% hypervisor steal
   (better reading kept, both logged in the full detail file).
@@ -426,6 +431,25 @@ def run_testdata_queries(spark) -> dict:
     return {"queries": out, "detail": detail}
 
 
+STEAL_CLEAN_PCT = 5.0
+
+
+def clean_runs(runs: list[dict], thresh: float = STEAL_CLEAN_PCT) -> list[dict]:
+    """Repeats whose measurement window carried ≤``thresh``% hypervisor
+    steal (missing steal readings count as clean — a repeat is only
+    excluded on positive evidence of contention)."""
+    return [r for r in runs if (r.get("steal_pct") or 0.0) <= thresh]
+
+
+def median_pool(runs: list[dict], thresh: float = STEAL_CLEAN_PCT) -> list[dict]:
+    """The repeats the level median is taken over: clean repeats only
+    when ≥2 exist, else all. Steal contaminates downward only, so
+    dropping contended samples can never manufacture throughput; the
+    ≥2 floor keeps a single lucky sample from becoming 'the median'."""
+    clean = clean_runs(runs, thresh)
+    return clean if len(clean) >= 2 else runs
+
+
 def pick_median(runs: list[dict], key: str = "pagerank_edges_per_sec_iter") -> dict:
     """Median run by ``key`` with the LOWER-middle element on even
     sample counts — a truncated 2-sample level must not report its
@@ -833,7 +857,23 @@ def main():
                     do_gather=(cores in (8, 32)) and rep == 0,
                 )
             )
-        med = dict(pick_median(runs))
+        # Steal top-up: the queries phase has re-run >5%-steal samples
+        # since round 3; the criterion pairs get the same rule. If
+        # fewer than 2 repeats at this level ran clean (≤5% hypervisor
+        # steal), run up to 2 extra repeats (pagerank only — triangles
+        # and the auto probe stay rep-0) so the median is not itself a
+        # steal-degraded sample (r5 run3: local32 steals 9.7/8.1/1.1 —
+        # the reported median was a contended repeat).
+        extra = 0
+        while (
+            len(clean_runs(runs)) < 2 and extra < 2 and elapsed() <= 0.7 * BUDGET
+        ):
+            runs.append(
+                _pinned_suite(cores, edges_path, do_triangles=False, do_gather=False)
+            )
+            extra += 1
+        med_pool = median_pool(runs)
+        med = dict(pick_median(med_pool))
         # min-wall estimator: the fastest single superstep ANY repeat
         # achieved at this level — uncontended capability, robust to
         # steal bursts that depress a whole repeat's median
@@ -865,6 +905,8 @@ def main():
             ),
             "steal_pcts": [r.get("steal_pct") for r in runs],
             "min_step_walls": [round(min(r["pagerank_step_walls"]), 3) for r in runs],
+            # which samples fed the median (clean-only when ≥2 ran ≤5% steal)
+            "median_pool_n": len(med_pool),
         }
         emit(partial=True)
 

@@ -259,3 +259,33 @@ def test_pick_median_lower_middle_on_even_counts():
     # faster one dressed up as a median
     runs2 = [{"pagerank_edges_per_sec_iter": v} for v in (9.0, 3.0)]
     assert bench.pick_median(runs2)["pagerank_edges_per_sec_iter"] == 3.0
+
+
+def test_median_pool_drops_contended_samples_when_two_clean_exist():
+    # r5 run3's local32: two repeats contended (9.7 / 8.1 % steal), one
+    # clean — with a topped-up fourth clean repeat the pool is clean-only
+    runs = [
+        {"pagerank_edges_per_sec_iter": 8.0e6, "steal_pct": 9.7},
+        {"pagerank_edges_per_sec_iter": 9.7e6, "steal_pct": 8.12},
+        {"pagerank_edges_per_sec_iter": 20.2e6, "steal_pct": 1.14},
+        {"pagerank_edges_per_sec_iter": 19.1e6, "steal_pct": 0.4},
+    ]
+    pool = bench.median_pool(runs)
+    assert [r["steal_pct"] for r in pool] == [1.14, 0.4]
+    # lower-middle rule on the 2-sample clean pool → the SLOWER clean one
+    assert bench.pick_median(pool)["pagerank_edges_per_sec_iter"] == 19.1e6
+
+
+def test_median_pool_keeps_all_when_fewer_than_two_clean():
+    # a single clean sample must not become 'the median' by itself
+    runs = [
+        {"pagerank_edges_per_sec_iter": 8.0e6, "steal_pct": 9.7},
+        {"pagerank_edges_per_sec_iter": 9.0e6, "steal_pct": 8.0},
+        {"pagerank_edges_per_sec_iter": 20.0e6, "steal_pct": 1.0},
+    ]
+    assert bench.median_pool(runs) == runs
+
+
+def test_clean_runs_treats_missing_steal_as_clean():
+    runs = [{"pagerank_edges_per_sec_iter": 1.0}, {"steal_pct": None}]
+    assert bench.clean_runs(runs) == runs
