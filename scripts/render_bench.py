@@ -112,6 +112,29 @@ def main():
             )
             else []
         ),
+        *(
+            [
+                "| PageRank auto-strategy, local[8] | "
+                f"{t['pagerank_auto_edges_per_sec_iter_local8']:,.0f} "
+                "edges/sec/iter — chose "
+                + str(
+                    b.get("suite_raw", {})
+                    .get("local8", {})
+                    .get("pagerank_auto_probe", {})
+                    .get("chosen", "?")
+                )
+                + ", fallback_superstep: "
+                + str(
+                    b.get("suite_raw", {})
+                    .get("local8", {})
+                    .get("pagerank_auto_probe", {})
+                    .get("fallback_superstep")
+                )
+                + " (None = gather stayed in-budget to completion) |"
+            ]
+            if "pagerank_auto_edges_per_sec_iter_local8" in t
+            else []
+        ),
         (
             "| Triangle counting (best of join/csr) | "
             f"local[8]: {t.get('triangles_per_sec_local8', 0):,.0f}/s, "
