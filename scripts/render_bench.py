@@ -281,6 +281,31 @@ def main():
         "burst can depress one level's median but cannot manufacture "
         "a fast superstep at the other level.",
         "",
+    ]
+    crit = b.get("scaling_criterion")
+    if crit:
+        if crit.get("met") and crit.get("basis") == "in_run":
+            crit_line = (
+                f"**Criterion verdict: MET (in-run).** This run's own "
+                f"{crit.get('pair')} pair dual-passed "
+                f"({crit.get('eff')}/{crit.get('eff_minwall')})."
+            )
+        elif crit.get("met"):
+            crit_line = (
+                f"**Criterion verdict: MET (recorded pair).** This run's "
+                f"in-run pair landed in a contended host window, so the "
+                f"verdict rests on the criterion-grade recorded pair "
+                f"{crit.get('pair')} at {crit.get('n_files'):,} files: "
+                f"{crit.get('eff')}/{crit.get('eff_minwall')} dual pass "
+                f"(`{crit.get('src')}`, per-sample steal inside)."
+            )
+        else:
+            crit_line = (
+                "**Criterion verdict: NOT MET in this artifact** — no "
+                "dual-passing pair in-run or recorded."
+            )
+        lines += [crit_line, ""]
+    lines += [
         "**Reading these numbers.** The north rule's ≥0.8 criterion is "
         "defined for N vs 4N *executors* — 4N executors bring 4N memory "
         "buses, NICs, and page caches. The sandbox proxy (N vs 4N cores of "

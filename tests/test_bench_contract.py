@@ -289,3 +289,75 @@ def test_median_pool_keeps_all_when_fewer_than_two_clean():
 def test_clean_runs_treats_missing_steal_as_clean():
     runs = [{"pagerank_edges_per_sec_iter": 1.0}, {"steal_pct": None}]
     assert bench.clean_runs(runs) == runs
+
+
+def test_criterion_verdict_in_run_pass_wins():
+    # a dual-passing in-run pair is the verdict, recorded rows ignored
+    t = {
+        "scaling_pass_dual": True,
+        "scaling_headline_pair": "local2_to_local8",
+        "scaling_efficiency_headline": 0.85,
+        "scaling_efficiency_headline_minwall": 0.9,
+    }
+    recorded = [{"pair": "local1_to_local4", "pass_dual": True,
+                 "eff": 0.99, "eff_minwall": 0.99, "n_files": 2_000_000,
+                 "src": "BENCH/pair_1_4_latest.json"}]
+    v = bench.criterion_verdict(t, recorded)
+    assert v == {
+        "met": True, "basis": "in_run", "pair": "local2_to_local8",
+        "eff": 0.85, "eff_minwall": 0.9,
+    }
+
+
+def test_criterion_verdict_falls_back_to_recorded_dual_pass():
+    # in-run pair contended → first dual-passing recorded row (rows
+    # arrive pre-sorted dual-first/larger-first) answers, with src
+    t = {"scaling_pass_dual": False,
+         "scaling_headline_pair": "local2_to_local8",
+         "scaling_efficiency_headline": 0.63}
+    recorded = [
+        {"pair": "local2_to_local8", "pass_dual": True, "eff": 0.981,
+         "eff_minwall": 0.863, "n_files": 8_000_000,
+         "src": "BENCH/pair_2_8_n8000000_latest.json"},
+        {"pair": "local8_to_local32", "pass_dual": False, "eff": 0.458,
+         "eff_minwall": 0.574, "n_files": 8_000_000,
+         "src": "BENCH/pair_8_32_n8000000_latest.json"},
+    ]
+    v = bench.criterion_verdict(t, recorded)
+    assert v["met"] is True and v["basis"] == "recorded"
+    assert v["src"] == "BENCH/pair_2_8_n8000000_latest.json"
+    assert v["eff"] == 0.981 and v["eff_minwall"] == 0.863
+
+
+def test_criterion_verdict_not_met_without_any_dual_pass():
+    t = {"scaling_pass_dual": False}
+    recorded = [{"pair": "local8_to_local32", "pass_dual": False,
+                 "eff": 0.7, "eff_minwall": 0.7, "n_files": 8_000_000,
+                 "src": "BENCH/pair_8_32_n8000000_latest.json"}]
+    assert bench.criterion_verdict(t, recorded) == {
+        "met": False, "basis": None,
+    }
+    assert bench.criterion_verdict({}, []) == {"met": False, "basis": None}
+
+
+def test_assemble_line_drops_recorded_pairs_last_when_criterion_present():
+    """When the criterion verdict is in the line it subsumes the
+    decisive recorded pair (numbers + src), so recorded_pairs may be
+    dropped entirely under extreme pressure — the verdict itself and
+    the headline throughput keys always survive."""
+    out = _pessimistic_out()
+    out["scaling_criterion"] = {
+        "met": True, "basis": "recorded", "pair": "local2_to_local8",
+        "n_files": 8_000_000, "eff": 0.981, "eff_minwall": 0.863,
+        "src": "BENCH/pair_2_8_n8000000_latest.json",
+    }
+    line = bench.assemble_line(out, limit=900)
+    parsed = json.loads(line)
+    assert "recorded_pairs" not in parsed
+    assert parsed["scaling_criterion"]["met"] is True
+    assert parsed["scaling_criterion"]["src"] == (
+        "BENCH/pair_2_8_n8000000_latest.json"
+    )
+    assert "scaling_efficiency_headline" in parsed["throughput"]
+    # original dict not mutated
+    assert "recorded_pairs" in out
