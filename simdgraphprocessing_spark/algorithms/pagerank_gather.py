@@ -64,6 +64,19 @@ from simdgraphprocessing_spark.iteration import IterationResult
 MAX_DENSE_VERTICES = 50_000_000
 
 
+def _sustained_exceeded(walls: list[float], budget_sec: float) -> bool:
+    """True when the LOWER median of the post-setup superstep walls
+    exceeds the budget. ``walls[0]`` (one-time persist/broadcast setup
+    rides on the first step) is excluded, and at least two post-setup
+    samples are required, so a single steal burst can never evict —
+    the lower median of two samples is the FASTER one. Pure function
+    (unit-tested in tests/test_pagerank_auto.py)."""
+    post = sorted(walls[1:])
+    if len(post) < 2:
+        return False
+    return post[(len(post) - 1) // 2] > budget_sec
+
+
 def pagerank_gather(
     edges: DataFrame,
     damping: float = 0.85,
@@ -74,6 +87,7 @@ def pagerank_gather(
     num_partitions: int | None = None,
     initial_ranks: DataFrame | None = None,
     step_timeout_sec: float | None = None,
+    sustained_budget_sec: float | None = None,
 ) -> IterationResult:
     """Returns IterationResult whose state is ``(id, rank)``.
 
@@ -93,6 +107,19 @@ def pagerank_gather(
     this plan's known failure mode (per-superstep broadcast fetch +
     V-row driver collect degrading ~9× under driver I/O contention;
     see the module docstring's measured spread).
+
+    ``sustained_budget_sec``: eviction on the RUNNING lower-median of
+    this call's superstep walls, excluding the setup-laden first step
+    and requiring ≥2 post-setup samples (one steal burst can never
+    evict). Exists because ``step_timeout_sec`` alone is a loose
+    catastrophic guard: ``pagerank_auto`` derives it from the shuffle
+    probe's MEDIAN, and a contended probe inflates it — round-5 run 6
+    at local[8] set an 12.4 s budget off a 9.9 s contended probe wall,
+    so 10-12 s gather steps "kept earning the slot" for the whole run
+    while the shuffle plan's own best step was 5.8 s. The sustained
+    check compares against the shuffle plan's best observed superstep
+    instead, which contention can inflate only upward (keeping gather
+    longer — safe), never downward.
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
@@ -149,6 +176,9 @@ def pagerank_gather(
     start_k = 0
     resumed_from = None
     metrics: list[dict] = []
+    # walls measured by THIS call only (resume preloads `metrics` with
+    # checkpointed history, which must not feed the sustained check)
+    walls_run: list[float] = []
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         last = _last_complete(checkpoint_dir)
@@ -211,6 +241,7 @@ def pagerank_gather(
         k += 1
 
         wall = time.time() - t0
+        walls_run.append(wall)
         m = {
             "superstep": k,
             "rows": n,
@@ -240,6 +271,12 @@ def pagerank_gather(
                 # the caller's fallback plan
                 m["timeout_exceeded"] = True
                 break
+        if sustained_budget_sec is not None and _sustained_exceeded(
+            walls_run, sustained_budget_sec
+        ):
+            m["timeout_exceeded"] = True
+            m["sustained_exceeded"] = True
+            break
 
     parted.unpersist()
     import pandas as pd
@@ -280,13 +317,20 @@ def pagerank_auto(
        hands gather's state back (the power-iteration update is
        state-free, so strategies compose exactly). Probing costs
        nothing but the strategies' own walls.
-    2. **Gather must keep earning its slot.** Phase 2 runs gather for
-       the remainder under a per-superstep budget of
-       ``gather_step_budget_factor × median(shuffle probe walls)``
-       (first step gets 2× for one-time persist/broadcast costs). Any
-       over-budget step still counts — the check is post-step — but
-       surrenders the remaining supersteps to shuffle. One slow
-       superstep is the maximum possible regret.
+    2. **Gather must keep earning its slot — against two yardsticks.**
+       Phase 2 runs gather for the remainder under (a) a per-superstep
+       budget of ``gather_step_budget_factor × median(shuffle probe
+       walls)`` (first step gets 2× for one-time persist/broadcast
+       costs) and (b) a SUSTAINED budget of ``gather_step_budget_factor
+       × min(shuffle probe walls)`` checked on gather's running
+       lower-median excluding the first step (≥2 post-setup samples).
+       (a) catches a catastrophic step; (b) catches the round-5 run-6
+       failure where a contended shuffle probe inflated (a)'s median
+       so 10–12 s gather steps stayed "in budget" for a whole run
+       whose shuffle best was 5.8 s. Any over-budget step still
+       counts — the checks are post-step — but surrenders the
+       remaining supersteps to shuffle. Maximum regret: one
+       catastrophic superstep, or three sustained-slow ones.
     3. **Gather must have room to pay its entry fee.** Switching plans
        costs real setup regardless of step speed: a dst-range
        repartition+persist of the edge table, an outdeg collect, and
@@ -372,6 +416,13 @@ def pagerank_auto(
 
     budget = gather_step_budget_factor * shuffle_med
     probe["gather_step_budget_sec"] = round(budget, 4)
+    # the per-step budget above derives from the probe MEDIAN (of 2
+    # samples: the slower one), which a contended probe inflates into
+    # a slot gather never has to earn — the sustained check compares
+    # gather's running lower-median against the shuffle plan's BEST
+    # observed superstep instead (see pagerank_gather docstring)
+    sustained = gather_step_budget_factor * s_walls[0]
+    probe["gather_sustained_budget_sec"] = round(sustained, 4)
     try:
         res_g = pagerank_gather(
             edges,
@@ -380,6 +431,7 @@ def pagerank_auto(
             tol=tol,
             initial_ranks=state,
             step_timeout_sec=budget,
+            sustained_budget_sec=sustained,
         )
         g_walls = [m["wall_sec"] for m in res_g.metrics]
         if g_walls:

@@ -318,3 +318,69 @@ def test_supersteps_free_localcheckpoint_blocks(spark):
     assert n_persistent() - base <= 4, (base, n_persistent())
     assert res.iterations == 8
     res.state.unpersist()
+
+
+def test_sustained_exceeded_pure_rules():
+    """Lower-median over post-setup walls: the setup step never
+    counts, <2 post-setup samples never evict, and a single slow
+    burst among good steps never evicts (lower median = the faster
+    of two)."""
+    from simdgraphprocessing_spark.algorithms.pagerank_gather import (
+        _sustained_exceeded,
+    )
+
+    assert _sustained_exceeded([], 1.0) is False
+    assert _sustained_exceeded([9.0], 1.0) is False  # setup only
+    assert _sustained_exceeded([9.0, 5.0], 1.0) is False  # 1 sample
+    # run-6 local[8] shape: 12s sustained vs 7.3s budget -> evict
+    assert _sustained_exceeded([11.0, 12.4, 12.0], 7.3) is True
+    # run-6 local[32] shape: sub-second sustained vs 3.0s budget -> keep
+    assert _sustained_exceeded([9.0, 0.93, 0.81], 3.0) is False
+    # one steal burst among good steps -> keep (lower median)
+    assert _sustained_exceeded([9.0, 1.0, 6.0], 3.0) is False
+    assert _sustained_exceeded([9.0, 1.0, 6.0, 1.1], 3.0) is False
+
+
+def test_pagerank_gather_sustained_eviction(spark):
+    """With the catastrophic per-step budget too loose to ever trip,
+    a sustained budget of zero must evict at exactly the minimum
+    3 counted steps (setup + 2 post-setup samples), flagged so
+    pagerank_auto's phase 3 takes over."""
+    from simdgraphprocessing_spark.algorithms import pagerank_gather
+
+    pairs = zipf_random_pairs(n=120)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    res = pagerank_gather(
+        e,
+        max_iterations=8,
+        tol=0.0,
+        step_timeout_sec=1e9,
+        sustained_budget_sec=0.0,
+    )
+    assert res.iterations == 3
+    assert res.metrics[-1]["sustained_exceeded"] is True
+    assert res.metrics[-1]["timeout_exceeded"] is True
+    assert not any("sustained_exceeded" in m for m in res.metrics[:-1])
+
+
+def test_pagerank_auto_records_sustained_budget(spark):
+    """The probe log carries both yardsticks: the catastrophic
+    per-step budget (x median probe wall) and the sustained budget
+    (x min probe wall), with sustained <= per-step by construction."""
+    from simdgraphprocessing_spark.algorithms import pagerank_auto
+
+    pairs = zipf_random_pairs(n=120)
+    e = edge_df(spark, pairs)
+    res = pagerank_auto(
+        e, max_iterations=12, tol=0.0, min_gather_amortization_iters=1
+    )
+    probe = res.strategy_probe
+    assert probe["gather_sustained_budget_sec"] is not None
+    assert (
+        probe["gather_sustained_budget_sec"]
+        <= probe["gather_step_budget_sec"] + 1e-9
+    )
+    base = pagerank(e, max_iterations=12, tol=0.0)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    exp = {r["id"]: r["rank"] for r in base.state.collect()}
+    assert all(abs(got[i] - exp[i]) < 1e-9 for i in got)
