@@ -347,7 +347,12 @@ def main():
         "criterion-grade pairs are therefore the ones where the box's "
         "own bandwidth DOES scale ≥4× — 1→4 and 2→8 — which is also the "
         "regime that faithfully models real N→4N executors (4N memory "
-        "buses).",
+        "buses). The ~22.5M ceiling describes the criterion's SHUFFLE "
+        "superstep (one E-sized random-scatter exchange per step); the "
+        "auto strategy's broadcast-CSR gather mode has a different bus "
+        "profile and is not bound by it — run 6 sustained 41M "
+        "edges/s/iter at local[32] in that mode "
+        "(MEASUREMENT_HISTORY.md, run-6 entry).",
         "",
         "## Headline metric",
         "",
