@@ -70,7 +70,7 @@ def _sustained_exceeded(walls: list[float], budget_sec: float) -> bool:
     rides on the first step) is excluded, and at least two post-setup
     samples are required, so a single steal burst can never evict —
     the lower median of two samples is the FASTER one. Pure function
-    (unit-tested in tests/test_pagerank_auto.py)."""
+    (unit-tested in tests/test_algorithms.py)."""
     post = sorted(walls[1:])
     if len(post) < 2:
         return False
@@ -114,7 +114,7 @@ def pagerank_gather(
     evict). Exists because ``step_timeout_sec`` alone is a loose
     catastrophic guard: ``pagerank_auto`` derives it from the shuffle
     probe's MEDIAN, and a contended probe inflates it — round-5 run 6
-    at local[8] set an 12.4 s budget off a 9.9 s contended probe wall,
+    at local[8] set a 12.4 s budget off a 9.9 s contended probe wall,
     so 10-12 s gather steps "kept earning the slot" for the whole run
     while the shuffle plan's own best step was 5.8 s. The sustained
     check compares against the shuffle plan's best observed superstep
